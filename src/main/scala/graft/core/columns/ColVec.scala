@@ -1,0 +1,99 @@
+package graft.core.columns
+
+/** Columnar value batch handed to column writers — role analog of the
+  * reference's `Block` (/root/reference/pkg/spi/block/Block.go), redesigned
+  * as one flat container (no per-type class hierarchy: the writer knows its
+  * type). A vec never crosses a row-group boundary.
+  *
+  * Field use by type:
+  *   - BOOLEAN/BYTE/SHORT/INT/LONG/DATE(days)/DECIMAL(p≤18 unscaled): longs
+  *   - TIMESTAMP: longs = micros since epoch UTC
+  *   - FLOAT/DOUBLE: doubles
+  *   - STRING/VARCHAR/CHAR/BINARY: bins (UTF-8 / raw bytes)
+  *   - DECIMAL(p>18): bigs = unscaled BigInt
+  *   - LIST: lengths + children(0)=elements; MAP: lengths + children(0)=keys,
+  *     children(1)=values; STRUCT: children = fields (same len, nulls here)
+  */
+final class ColVec(var len: Int) {
+  var nulls: Array[Boolean] = null // null ⇒ no nulls in this vec
+  var longs: Array[Long] = null
+  var doubles: Array[Double] = null
+  var bins: Array[Array[Byte]] = null
+  var bigs: Array[BigInt] = null
+  var lengths: Array[Int] = null
+  var children: Array[ColVec] = null
+
+  @inline def isNull(i: Int): Boolean = nulls != null && nulls(i)
+}
+
+/** MOTH logical types (kind ids per the proto Type.Kind enum,
+  * /root/reference/pkg/store/proto/moth_proto.proto Type message).
+  */
+sealed abstract class MothType(val kind: Int) {
+  def children: Seq[MothType] = Nil
+  def fieldNames: Seq[String] = Nil
+}
+object MothType {
+  case object TBoolean extends MothType(0)
+  case object TByte extends MothType(1)
+  case object TShort extends MothType(2)
+  case object TInt extends MothType(3)
+  case object TLong extends MothType(4)
+  case object TFloat extends MothType(5)
+  case object TDouble extends MothType(6)
+  case object TString extends MothType(7)
+  case object TBinary extends MothType(8)
+  case object TTimestamp extends MothType(9)
+  final case class TList(elem: MothType) extends MothType(10) {
+    override def children: Seq[MothType] = Seq(elem)
+  }
+  final case class TMap(key: MothType, value: MothType) extends MothType(11) {
+    override def children: Seq[MothType] = Seq(key, value)
+  }
+  final case class TStruct(fields: Seq[(String, MothType)]) extends MothType(12) {
+    override def children: Seq[MothType] = fields.map(_._2)
+    override def fieldNames: Seq[String] = fields.map(_._1)
+  }
+  final case class TDecimal(precision: Int, scale: Int) extends MothType(14)
+  case object TDate extends MothType(15)
+  final case class TVarchar(maxLen: Int) extends MothType(16)
+  final case class TChar(len: Int) extends MothType(17)
+  case object TTimestampInstant extends MothType(18)
+
+  /** Pre-order flattened column count (self + descendants) — ORC column ids. */
+  def columnCount(t: MothType): Int = 1 + t.children.map(columnCount).sum
+}
+
+/** Stream kinds per proto Stream.Kind. */
+object StreamKind {
+  val Present = 0
+  val Data = 1
+  val Length = 2
+  val DictionaryData = 3
+  val Secondary = 5
+  val RowIndex = 6
+  val BloomFilterUtf8 = 8
+}
+
+/** Column encoding kinds per proto ColumnEncoding.Kind, plus our documented
+  * extension DIRECT_FSST=4 (FSST-compressed direct strings; the table rides
+  * in a DICTIONARY_DATA stream). FSST is a north-rule extension — it does
+  * not exist in the reference (SURVEY.md preamble).
+  */
+object EncodingKind {
+  val Direct = 0
+  val Dictionary = 1
+  val DirectV2 = 2
+  val DictionaryV2 = 3
+  val DirectFsst = 4
+}
+
+final case class ColumnEncoding(kind: Int, dictionarySize: Int = 0)
+
+/** One finished (still uncompressed) stream of a stripe. */
+final case class StreamData(kind: Int, column: Int, bytes: Array[Byte])
+
+/** One row-group index entry for one column: seek positions per stream (in
+  * the column's emission order) + that row group's stats.
+  */
+final case class RowGroupIndexEntry(positions: Array[Long], stats: graft.core.stats.ColStats)

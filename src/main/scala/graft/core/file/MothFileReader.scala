@@ -1,0 +1,248 @@
+package graft.core.file
+
+import graft.core.columns._
+import graft.core.compress.{Chunked, CompressionKind}
+import graft.core.stats.{BloomFilter, ColStats}
+import scala.collection.mutable.ArrayBuffer
+
+/** Positioned-read abstraction — analog of the reference's MothDataSource
+  * (/root/reference/pkg/store/MothDataSource.go:14-17): only the tail and
+  * the stripes a split owns are ever read.
+  */
+trait ByteSource {
+  def size: Long
+  def read(pos: Long, len: Int): Array[Byte]
+  def close(): Unit = ()
+}
+
+final class ArraySource(bytes: Array[Byte]) extends ByteSource {
+  def size: Long = bytes.length.toLong
+  def read(pos: Long, len: Int): Array[Byte] =
+    java.util.Arrays.copyOfRange(bytes, pos.toInt, pos.toInt + len)
+}
+
+final class FileSource(path: String) extends ByteSource {
+  private val raf = new java.io.RandomAccessFile(path, "r")
+  def size: Long = raf.length()
+  def read(pos: Long, len: Int): Array[Byte] = {
+    val out = new Array[Byte](len)
+    raf.seek(pos)
+    raf.readFully(out)
+    out
+  }
+  override def close(): Unit = raf.close()
+}
+
+/** Stats predicate — the reference's only filter abstraction
+  * (/root/reference/pkg/store/MothPredicate.go): prunes files, stripes and
+  * row groups from min/max statistics + bloom filters; residual row-level
+  * filtering stays the engine's (Spark's) job.
+  */
+sealed trait ColPredicate { def columnName: String }
+final case class LongRangePred(columnName: String, min: Option[Long], max: Option[Long])
+    extends ColPredicate
+final case class LongEqPred(columnName: String, value: Long) extends ColPredicate
+final case class StringEqPred(columnName: String, value: String) extends ColPredicate
+
+final case class StatsPredicate(preds: Seq[ColPredicate]) {
+  def matches(colIdOf: String => Option[Int], stats: Int => Option[ColStats],
+      bloom: Int => Option[BloomFilter]): Boolean = {
+    preds.forall { p =>
+      colIdOf(p.columnName).forall { col =>
+        val s = stats(col)
+        p match {
+          case LongRangePred(_, lo, hi) =>
+            s.forall { st =>
+              st.intStats.forall { is =>
+                lo.forall(_ <= is.max) && hi.forall(_ >= is.min)
+              }
+            }
+          case LongEqPred(_, v) =>
+            s.forall(_.intStats.forall(is => v >= is.min && v <= is.max)) &&
+              bloom(col).forall(_.testLong(v))
+          case StringEqPred(_, v) =>
+            val b = v.getBytes("UTF-8")
+            s.forall(_.stringStats.forall { ss =>
+              ss.min.forall(ColStats.compareBytes(b, _) >= 0) &&
+                ss.max.forall(ColStats.compareBytes(b, _) <= 0)
+            }) && bloom(col).forall(_.testBytes(b))
+        }
+      }
+    }
+  }
+}
+
+object StatsPredicate {
+  val True: StatsPredicate = StatsPredicate(Nil)
+}
+
+/** MOTH file reader — tail parse per
+  * /root/reference/pkg/store/MothReader.go:43-93, stripe iteration with
+  * file/stripe/row-group stats + bloom pruning per MothRecordReader.go and
+  * StripeReader.go:272-293.
+  */
+final class MothFileReader(src: ByteSource) {
+  import MothFileReader._
+
+  val (postScript, footer, stripeStatsPerStripe) = {
+    val tailLen = math.min(src.size, 16384L).toInt
+    var tail = src.read(src.size - tailLen, tailLen)
+    val psLen = tail(tail.length - 1) & 0xff
+    val ps = Meta.readPostScript(tail, tail.length - 1 - psLen, psLen)
+    require(ps.magic == "MOTH", s"bad magic '${ps.magic}'")
+    val kind = CompressionKind(ps.compression)
+    val need = (ps.footerLength + ps.metadataLength + psLen + 1).toInt
+    if (need > tail.length) tail = src.read(src.size - need, need)
+    val footerStart = tail.length - 1 - psLen - ps.footerLength.toInt
+    val footerBytes = Chunked.decompress(kind, tail, footerStart, ps.footerLength.toInt,
+      ps.compressionBlockSize.toInt)
+    val f = Meta.readFooter(footerBytes)
+    val metaStart = footerStart - ps.metadataLength.toInt
+    val metaBytes = Chunked.decompress(kind, tail, metaStart, ps.metadataLength.toInt,
+      ps.compressionBlockSize.toInt)
+    (ps, f, Meta.readMetadata(metaBytes))
+  }
+
+  val compression: CompressionKind.Value = CompressionKind(postScript.compression)
+  val schema: MothType.TStruct = Meta.unflattenTypes(footer.types) match {
+    case s: MothType.TStruct => s
+    case other => MothType.TStruct(Seq(("value", other)))
+  }
+  def rowCount: Long = footer.numberOfRows
+  def fileStats: Seq[ColStats] = footer.statistics
+
+  /** Column ids of a top-level field subtree, for projection. */
+  private lazy val fieldColumnRanges: Seq[(String, Range)] = {
+    var next = 1
+    schema.fields.map { case (name, t) =>
+      val start = next
+      next += MothType.columnCount(t)
+      (name, start until next)
+    }
+  }
+
+  def columnIdOf(name: String): Option[Int] = fieldColumnRanges.find(_._1 == name).map(_._2.start)
+
+  /** Iterate ColVec batches over the projected top-level fields.
+    * @param includedFields None = all fields
+    * @param split optional [start,end) byte range — a stripe belongs to the
+    *   split owning its first byte (Spark split semantics,
+    *   MothRecordReader.go splitContainsStripe)
+    */
+  def batches(includedFields: Option[Seq[String]] = None,
+      predicate: StatsPredicate = StatsPredicate.True,
+      batchSize: Int = 8192,
+      split: Option[(Long, Long)] = None): Iterator[ColVec] = {
+    val fields = includedFields.getOrElse(schema.fields.map(_._1))
+    val projected = MothType.TStruct(schema.fields.filter(f => fields.contains(f._1)))
+    val includedIds: Set[Int] = Set(0) ++ fieldColumnRanges
+      .filter(f => fields.contains(f._1)).flatMap(_._2)
+
+    // file-level stats gate
+    if (!predicate.matches(columnIdOf, c => footer.statistics.lift(c), _ => None))
+      return Iterator.empty
+
+    footer.stripes.iterator.zipWithIndex.flatMap { case (stripe, si) =>
+      val owned = split.forall { case (s, e) => stripe.offset >= s && stripe.offset < e }
+      val stripeOk = owned && predicate.matches(columnIdOf,
+        c => stripeStatsPerStripe.lift(si).flatMap(_.lift(c)), _ => None)
+      if (!stripeOk) Iterator.empty
+      else readStripe(stripe, projected, includedIds, predicate, batchSize)
+    }
+  }
+
+  private def readStripe(stripe: Meta.StripeInfo, projected: MothType.TStruct,
+      includedIds: Set[Int], predicate: StatsPredicate, batchSize: Int): Iterator[ColVec] = {
+    val stripeBytes = src.read(stripe.offset,
+      (stripe.indexLength + stripe.dataLength + stripe.footerLength).toInt)
+    val sfOff = (stripe.indexLength + stripe.dataLength).toInt
+    val sf = Meta.readStripeFooter(Chunked.decompress(compression, stripeBytes, sfOff,
+      stripe.footerLength.toInt, postScript.compressionBlockSize.toInt))
+
+    // locate streams
+    var pos = 0L
+    val streamMap = scala.collection.mutable.Map[(Int, Int), Array[Byte]]()
+    val rowIndexRaw = scala.collection.mutable.Map[Int, Array[Byte]]()
+    val bloomRaw = scala.collection.mutable.Map[Int, Array[Byte]]()
+    sf.streams.foreach { s =>
+      if (includedIds.contains(s.column)) {
+        lazy val bytes = Chunked.decompress(compression, stripeBytes, pos.toInt,
+          s.length.toInt, postScript.compressionBlockSize.toInt)
+        s.kind match {
+          case StreamKind.RowIndex => rowIndexRaw(s.column) = bytes
+          case StreamKind.BloomFilterUtf8 => bloomRaw(s.column) = bytes
+          case k => streamMap((s.column, k)) = bytes
+        }
+      }
+      pos += s.length
+    }
+    val encodings = sf.columns.zipWithIndex.map { case (e, c) => c -> e }.toMap
+    val streams = new StripeStreams(streamMap.toMap, encodings)
+
+    // row-group selection
+    val stride = math.max(footer.rowIndexStride, 1)
+    val nGroups = ((stripe.numberOfRows + stride - 1) / stride).toInt
+    val selected: Array[Boolean] =
+      if (predicate.preds.isEmpty || nGroups <= 1) Array.fill(math.max(nGroups, 1))(true)
+      else {
+        val perColEntries = rowIndexRaw.map { case (c, b) => c -> Meta.readRowIndex(b) }
+        val perColBlooms = bloomRaw.map { case (c, b) => c -> Meta.readBloomIndex(b) }
+        Array.tabulate(nGroups) { g =>
+          predicate.matches(columnIdOf,
+            c => perColEntries.get(c).flatMap(_.lift(g)).map(_.stats),
+            c => perColBlooms.get(c).flatMap(_.lift(g)))
+        }
+      }
+
+    val reader = buildProjectedReader(projected, includedIds)
+    reader.startStripe(streams)
+
+    new Iterator[ColVec] {
+      private var group = 0
+      private var rowInGroup = 0L
+      private var rowsLeftTotal = stripe.numberOfRows
+      advance()
+
+      private def groupRows(g: Int): Long =
+        math.min(stride.toLong, stripe.numberOfRows - g.toLong * stride)
+
+      private def advance(): Unit = {
+        while (group < nGroups && !selected(group)) {
+          val n = groupRows(group)
+          reader.skip(n)
+          rowsLeftTotal -= n
+          group += 1
+          rowInGroup = 0
+        }
+      }
+
+      def hasNext: Boolean = group < nGroups
+      def next(): ColVec = {
+        val remainingInGroup = groupRows(group) - rowInGroup
+        val n = math.min(batchSize.toLong, remainingInGroup).toInt
+        val v = reader.read(n)
+        rowInGroup += n
+        rowsLeftTotal -= n
+        if (rowInGroup >= groupRows(group)) { group += 1; rowInGroup = 0; advance() }
+        v
+      }
+    }
+  }
+
+  /** Reader tree over the projected fields but with ORIGINAL column ids. */
+  private def buildProjectedReader(projected: MothType.TStruct,
+      includedIds: Set[Int]): ColumnReader = {
+    val kids = schema.fields.zip(fieldColumnRanges).collect {
+      case ((name, t), (_, range)) if projected.fields.exists(_._1 == name) =>
+        ColumnReader.createTree(t, range.start)
+    }
+    new StructColumnReader(0, kids)
+  }
+
+  def close(): Unit = src.close()
+}
+
+object MothFileReader {
+  def fromBytes(bytes: Array[Byte]): MothFileReader = new MothFileReader(new ArraySource(bytes))
+  def fromPath(path: String): MothFileReader = new MothFileReader(new FileSource(path))
+}

@@ -1,0 +1,474 @@
+package graft.core.file
+
+import graft.core.columns._
+import graft.core.io.ByteRd
+import graft.core.rle._
+import graft.core.fsst.FsstTable
+
+/** Decompressed streams + encodings of one stripe, keyed (column, kind). */
+final class StripeStreams(streams: Map[(Int, Int), Array[Byte]],
+    encodings: Map[Int, ColumnEncoding]) {
+  def apply(col: Int, kind: Int): Option[Array[Byte]] = streams.get((col, kind))
+  def encoding(col: Int): ColumnEncoding = encodings.getOrElse(col, ColumnEncoding(0))
+}
+
+/** Streaming column decoder — mirror of the writers; role analog of the
+  * reference's ColumnReaders (/root/reference/pkg/store/ColumnReaders.go).
+  * skip() decodes-and-discards (cheap for RLE) — used for row-group pruning.
+  */
+trait ColumnReader {
+  def columnId: Int
+  def startStripe(s: StripeStreams): Unit
+  def read(n: Int): ColVec
+  def skip(n: Long): Unit
+}
+
+object ColumnReader {
+  def createTree(t: MothType, id: Int = 0): ColumnReader = {
+    var next = id
+    def create(t: MothType): ColumnReader = {
+      val my = next
+      next += 1
+      t match {
+        case MothType.TBoolean => new BoolColumnReader(my)
+        case MothType.TByte => new ByteColumnReader(my)
+        case MothType.TShort | MothType.TInt | MothType.TLong | MothType.TDate =>
+          new LongColumnReader(my)
+        case MothType.TFloat => new FloatColumnReader(my)
+        case MothType.TDouble => new DoubleColumnReader(my)
+        case MothType.TTimestamp | MothType.TTimestampInstant => new TimestampColumnReader(my)
+        case d: MothType.TDecimal => new DecimalColumnReader(my, d.precision)
+        case MothType.TBinary => new StringColumnReader(my)
+        case MothType.TString | _: MothType.TVarchar | _: MothType.TChar =>
+          new StringColumnReader(my)
+        case l: MothType.TList => new ListColumnReader(my, create(l.elem))
+        case m: MothType.TMap => new MapColumnReader(my, create(m.key), create(m.value))
+        case s: MothType.TStruct => new StructColumnReader(my, s.fields.map(f => create(f._2)))
+      }
+    }
+    create(t)
+  }
+}
+
+abstract class PrimitiveColumnReader(val columnId: Int) extends ColumnReader {
+  protected var present: BooleanReader = null
+
+  protected def startValues(s: StripeStreams): Unit
+
+  def startStripe(s: StripeStreams): Unit = {
+    present = s(columnId, StreamKind.Present)
+      .map(b => new BooleanReader(new ByteRd(b))).orNull
+    startValues(s)
+  }
+
+  /** Fills v.nulls (or leaves null) and returns the non-null count. */
+  protected def readPresent(v: ColVec, n: Int): Int = {
+    if (present == null) return n
+    val nulls = new Array[Boolean](n)
+    var nonNull = 0
+    var i = 0
+    while (i < n) {
+      val p = present.nextBoolean()
+      nulls(i) = !p
+      if (p) nonNull += 1
+      i += 1
+    }
+    v.nulls = nulls
+    nonNull
+  }
+
+  protected def skipPresent(n: Long): Long = {
+    if (present == null) return n
+    var nonNull = 0L
+    var i = 0L
+    while (i < n) {
+      if (present.nextBoolean()) nonNull += 1
+      i += 1
+    }
+    nonNull
+  }
+}
+
+final class LongColumnReader(id: Int) extends PrimitiveColumnReader(id) {
+  private var data: RleV2Reader = null
+  protected def startValues(s: StripeStreams): Unit =
+    data = new RleV2Reader(new ByteRd(s(id, StreamKind.Data).getOrElse(Array.empty)), signed = true)
+
+  def read(n: Int): ColVec = {
+    val v = new ColVec(n)
+    v.longs = new Array[Long](n)
+    val nonNull = readPresent(v, n)
+    if (nonNull == n) data.next(v.longs, 0, n)
+    else {
+      val tmp = new Array[Long](nonNull)
+      data.next(tmp, 0, nonNull)
+      var i = 0; var j = 0
+      while (i < n) { if (!v.nulls(i)) { v.longs(i) = tmp(j); j += 1 }; i += 1 }
+    }
+    v
+  }
+  def skip(n: Long): Unit = data.skip(skipPresent(n))
+}
+
+final class ByteColumnReader(id: Int) extends PrimitiveColumnReader(id) {
+  private var data: ByteRleReader = null
+  protected def startValues(s: StripeStreams): Unit =
+    data = new ByteRleReader(new ByteRd(s(id, StreamKind.Data).getOrElse(Array.empty)))
+
+  def read(n: Int): ColVec = {
+    val v = new ColVec(n)
+    v.longs = new Array[Long](n)
+    val nonNull = readPresent(v, n)
+    val tmp = new Array[Byte](nonNull)
+    data.next(tmp, 0, nonNull)
+    var i = 0; var j = 0
+    while (i < n) { if (!v.isNull(i)) { v.longs(i) = tmp(j).toLong; j += 1 }; i += 1 }
+    v
+  }
+  def skip(n: Long): Unit = data.skip(skipPresent(n))
+}
+
+final class BoolColumnReader(id: Int) extends PrimitiveColumnReader(id) {
+  private var data: BooleanReader = null
+  protected def startValues(s: StripeStreams): Unit =
+    data = new BooleanReader(new ByteRd(s(id, StreamKind.Data).getOrElse(Array.empty)))
+
+  def read(n: Int): ColVec = {
+    val v = new ColVec(n)
+    v.longs = new Array[Long](n)
+    readPresent(v, n)
+    var i = 0
+    while (i < n) {
+      if (!v.isNull(i)) v.longs(i) = if (data.nextBoolean()) 1L else 0L
+      i += 1
+    }
+    v
+  }
+  def skip(n: Long): Unit = data.skip(skipPresent(n))
+}
+
+final class DoubleColumnReader(id: Int) extends PrimitiveColumnReader(id) {
+  private var data: ByteRd = null
+  protected def startValues(s: StripeStreams): Unit =
+    data = new ByteRd(s(id, StreamKind.Data).getOrElse(Array.empty))
+
+  def read(n: Int): ColVec = {
+    val v = new ColVec(n)
+    v.doubles = new Array[Double](n)
+    readPresent(v, n)
+    var i = 0
+    while (i < n) {
+      if (!v.isNull(i)) v.doubles(i) = java.lang.Double.longBitsToDouble(data.readLongLE())
+      i += 1
+    }
+    v
+  }
+  def skip(n: Long): Unit = data.skip((skipPresent(n) * 8).toInt)
+}
+
+final class FloatColumnReader(id: Int) extends PrimitiveColumnReader(id) {
+  private var data: ByteRd = null
+  protected def startValues(s: StripeStreams): Unit =
+    data = new ByteRd(s(id, StreamKind.Data).getOrElse(Array.empty))
+
+  def read(n: Int): ColVec = {
+    val v = new ColVec(n)
+    v.doubles = new Array[Double](n)
+    readPresent(v, n)
+    var i = 0
+    while (i < n) {
+      if (!v.isNull(i)) v.doubles(i) = java.lang.Float.intBitsToFloat(data.readIntLE()).toDouble
+      i += 1
+    }
+    v
+  }
+  def skip(n: Long): Unit = data.skip((skipPresent(n) * 4).toInt)
+}
+
+final class TimestampColumnReader(id: Int) extends PrimitiveColumnReader(id) {
+  import TimestampColumnWriter._
+  private var seconds: RleV2Reader = null
+  private var nanos: RleV2Reader = null
+  protected def startValues(s: StripeStreams): Unit = {
+    seconds = new RleV2Reader(new ByteRd(s(id, StreamKind.Data).getOrElse(Array.empty)), signed = true)
+    nanos = new RleV2Reader(new ByteRd(s(id, StreamKind.Secondary).getOrElse(Array.empty)), signed = false)
+  }
+
+  def read(n: Int): ColVec = {
+    val v = new ColVec(n)
+    v.longs = new Array[Long](n)
+    readPresent(v, n)
+    var i = 0
+    while (i < n) {
+      if (!v.isNull(i)) {
+        val sec = seconds.nextLong() + Epoch2015Seconds
+        val ns = decodeNanos(nanos.nextLong())
+        v.longs(i) = sec * 1000000L + ns / 1000L
+      }
+      i += 1
+    }
+    v
+  }
+  def skip(n: Long): Unit = {
+    val k = skipPresent(n)
+    seconds.skip(k); nanos.skip(k)
+  }
+}
+
+final class DecimalColumnReader(id: Int, precision: Int) extends PrimitiveColumnReader(id) {
+  private var data: ByteRd = null
+  protected def startValues(s: StripeStreams): Unit =
+    data = new ByteRd(s(id, StreamKind.Data).getOrElse(Array.empty))
+
+  def read(n: Int): ColVec = {
+    val v = new ColVec(n)
+    readPresent(v, n)
+    if (precision <= 18) {
+      v.longs = new Array[Long](n)
+      var i = 0
+      while (i < n) { if (!v.isNull(i)) v.longs(i) = data.readVslong(); i += 1 }
+    } else {
+      v.bigs = new Array[BigInt](n)
+      var i = 0
+      while (i < n) { if (!v.isNull(i)) v.bigs(i) = readBigVarint(); i += 1 }
+    }
+    v
+  }
+
+  private def readBigVarint(): BigInt = {
+    var zz = BigInt(0)
+    var shift = 0
+    var b = 0
+    while ({ b = data.readByte(); (b & 0x80) != 0 }) {
+      zz |= BigInt(b & 0x7f) << shift
+      shift += 7
+    }
+    zz |= BigInt(b) << shift
+    if (zz.testBit(0)) -((zz + 1) >> 1) else zz >> 1
+  }
+
+  def skip(n: Long): Unit = {
+    val k = skipPresent(n)
+    var i = 0L
+    while (i < k) {
+      while ((data.readByte() & 0x80) != 0) {}
+      i += 1
+    }
+  }
+}
+
+/** STRING/VARCHAR/CHAR/BINARY — dispatches DIRECT_V2 | DICTIONARY_V2 |
+  * DIRECT_FSST per the stripe's column encoding
+  * (/root/reference/pkg/store/SliceColumnReader.go:48-61 analog).
+  */
+final class StringColumnReader(id: Int) extends PrimitiveColumnReader(id) {
+  private var mode = EncodingKind.DirectV2
+  private var lengths: RleV2Reader = null
+  private var data: ByteRd = null
+  private var dict: Array[Array[Byte]] = null
+  private var fsst: FsstTable = null
+
+  protected def startValues(s: StripeStreams): Unit = {
+    mode = s.encoding(columnId).kind
+    mode match {
+      case EncodingKind.DictionaryV2 | EncodingKind.Dictionary =>
+        val dictSize = s.encoding(columnId).dictionarySize
+        val dictData = s(columnId, StreamKind.DictionaryData).getOrElse(Array.empty)
+        val lenRd = new RleV2Reader(
+          new ByteRd(s(columnId, StreamKind.Length).getOrElse(Array.empty)), signed = false)
+        dict = new Array[Array[Byte]](dictSize)
+        var off = 0
+        var i = 0
+        while (i < dictSize) {
+          val l = lenRd.nextLong().toInt
+          dict(i) = java.util.Arrays.copyOfRange(dictData, off, off + l)
+          off += l
+          i += 1
+        }
+        lengths = null
+        data = null
+        indices = new RleV2Reader(
+          new ByteRd(s(columnId, StreamKind.Data).getOrElse(Array.empty)), signed = false)
+      case EncodingKind.DirectFsst =>
+        fsst = FsstTable.deserialize(s(columnId, StreamKind.DictionaryData).get)
+        lengths = new RleV2Reader(
+          new ByteRd(s(columnId, StreamKind.Length).getOrElse(Array.empty)), signed = false)
+        data = new ByteRd(s(columnId, StreamKind.Data).getOrElse(Array.empty))
+      case _ =>
+        fsst = null
+        lengths = new RleV2Reader(
+          new ByteRd(s(columnId, StreamKind.Length).getOrElse(Array.empty)), signed = false)
+        data = new ByteRd(s(columnId, StreamKind.Data).getOrElse(Array.empty))
+    }
+  }
+
+  private var indices: RleV2Reader = null
+
+  def read(n: Int): ColVec = {
+    val v = new ColVec(n)
+    v.bins = new Array[Array[Byte]](n)
+    readPresent(v, n)
+    var i = 0
+    if (mode == EncodingKind.DictionaryV2 || mode == EncodingKind.Dictionary) {
+      while (i < n) {
+        if (!v.isNull(i)) v.bins(i) = dict(indices.nextLong().toInt)
+        i += 1
+      }
+    } else if (mode == EncodingKind.DirectFsst) {
+      while (i < n) {
+        if (!v.isNull(i)) {
+          val l = lengths.nextLong().toInt
+          v.bins(i) = fsst.decodeToArray(data.buf, data.pos, l)
+          data.skip(l)
+        }
+        i += 1
+      }
+    } else {
+      while (i < n) {
+        if (!v.isNull(i)) {
+          val l = lengths.nextLong().toInt
+          v.bins(i) = data.readBytes(l)
+        }
+        i += 1
+      }
+    }
+    v
+  }
+
+  def skip(n: Long): Unit = {
+    val k = skipPresent(n)
+    if (mode == EncodingKind.DictionaryV2 || mode == EncodingKind.Dictionary) indices.skip(k)
+    else {
+      var i = 0L
+      while (i < k) { data.skip(lengths.nextLong().toInt); i += 1 }
+    }
+  }
+}
+
+final class ListColumnReader(val columnId: Int, elem: ColumnReader) extends ColumnReader {
+  private var present: BooleanReader = null
+  private var lengths: RleV2Reader = null
+
+  def startStripe(s: StripeStreams): Unit = {
+    present = s(columnId, StreamKind.Present)
+      .map(b => new BooleanReader(new ByteRd(b))).orNull
+    lengths = new RleV2Reader(
+      new ByteRd(s(columnId, StreamKind.Length).getOrElse(Array.empty)), signed = false)
+    elem.startStripe(s)
+  }
+
+  def read(n: Int): ColVec = {
+    val v = new ColVec(n)
+    v.lengths = new Array[Int](n)
+    if (present != null) {
+      v.nulls = new Array[Boolean](n)
+      var i = 0
+      while (i < n) { v.nulls(i) = !present.nextBoolean(); i += 1 }
+    }
+    var total = 0
+    var i = 0
+    while (i < n) {
+      if (!v.isNull(i)) { v.lengths(i) = lengths.nextLong().toInt; total += v.lengths(i) }
+      i += 1
+    }
+    v.children = Array(elem.read(total))
+    v
+  }
+
+  def skip(n: Long): Unit = {
+    var nonNull = n
+    if (present != null) {
+      nonNull = 0
+      var i = 0L
+      while (i < n) { if (present.nextBoolean()) nonNull += 1; i += 1 }
+    }
+    var elems = 0L
+    var i = 0L
+    while (i < nonNull) { elems += lengths.nextLong(); i += 1 }
+    elem.skip(elems)
+  }
+}
+
+final class MapColumnReader(val columnId: Int, key: ColumnReader, value: ColumnReader)
+    extends ColumnReader {
+  private var present: BooleanReader = null
+  private var lengths: RleV2Reader = null
+
+  def startStripe(s: StripeStreams): Unit = {
+    present = s(columnId, StreamKind.Present)
+      .map(b => new BooleanReader(new ByteRd(b))).orNull
+    lengths = new RleV2Reader(
+      new ByteRd(s(columnId, StreamKind.Length).getOrElse(Array.empty)), signed = false)
+    key.startStripe(s); value.startStripe(s)
+  }
+
+  def read(n: Int): ColVec = {
+    val v = new ColVec(n)
+    v.lengths = new Array[Int](n)
+    if (present != null) {
+      v.nulls = new Array[Boolean](n)
+      var i = 0
+      while (i < n) { v.nulls(i) = !present.nextBoolean(); i += 1 }
+    }
+    var total = 0
+    var i = 0
+    while (i < n) {
+      if (!v.isNull(i)) { v.lengths(i) = lengths.nextLong().toInt; total += v.lengths(i) }
+      i += 1
+    }
+    v.children = Array(key.read(total), value.read(total))
+    v
+  }
+
+  def skip(n: Long): Unit = {
+    var nonNull = n
+    if (present != null) {
+      nonNull = 0
+      var i = 0L
+      while (i < n) { if (present.nextBoolean()) nonNull += 1; i += 1 }
+    }
+    var elems = 0L
+    var i = 0L
+    while (i < nonNull) { elems += lengths.nextLong(); i += 1 }
+    key.skip(elems); value.skip(elems)
+  }
+}
+
+final class StructColumnReader(val columnId: Int, val fields: Seq[ColumnReader])
+    extends ColumnReader {
+  private var present: BooleanReader = null
+
+  def startStripe(s: StripeStreams): Unit = {
+    present = s(columnId, StreamKind.Present)
+      .map(b => new BooleanReader(new ByteRd(b))).orNull
+    fields.foreach(_.startStripe(s))
+  }
+
+  def read(n: Int): ColVec = {
+    val v = new ColVec(n)
+    var nonNull = n
+    if (present != null) {
+      v.nulls = new Array[Boolean](n)
+      nonNull = 0
+      var i = 0
+      while (i < n) {
+        val p = present.nextBoolean()
+        v.nulls(i) = !p
+        if (p) nonNull += 1
+        i += 1
+      }
+    }
+    v.children = fields.map(_.read(nonNull)).toArray
+    v
+  }
+
+  def skip(n: Long): Unit = {
+    var nonNull = n
+    if (present != null) {
+      nonNull = 0
+      var i = 0L
+      while (i < n) { if (present.nextBoolean()) nonNull += 1; i += 1 }
+    }
+    fields.foreach(_.skip(nonNull))
+  }
+}

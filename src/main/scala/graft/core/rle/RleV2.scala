@@ -188,12 +188,14 @@ final class RleV2Writer(val signed: Boolean, val out: ByteBuf = new ByteBuf(128)
     clearState()
   }
 
+  // NB: fixedRunLength/variableRunLength are NOT cleared here — each write
+  // method resets only the counter it consumed (the tail-preservation path
+  // in writeLong re-appends MinRepeat literals and relies on fixedRunLength
+  // surviving the flush), per LongOutputStreamV2.go clearEncoder.
   private def clearState(): Unit = {
     numLiterals = 0
     prevDelta = 0
     fixedDelta = 0
-    fixedRunLength = 0
-    variableRunLength = 0
     zzBits90p = 0; zzBits100p = 0; brBits95p = 0; brBits100p = 0
     bitsDeltaMax = 0
     patchWidth = 0; patchGapWidth = 0; patchLength = 0
@@ -211,6 +213,7 @@ final class RleV2Writer(val signed: Boolean, val out: ByteBuf = new ByteBuf(128)
     header |= numLiterals - MinRepeat
     out.writeByte(header)
     out.writeBE(repeatVal, numBytes)
+    fixedRunLength = 0
   }
 
   private def writeDirect(): Unit = {
@@ -220,6 +223,7 @@ final class RleV2Writer(val signed: Boolean, val out: ByteBuf = new ByteBuf(128)
     out.writeByte((Enc.Direct << 6) | ebw | ((length >>> 8) & 1))
     out.writeByte(length & 0xff)
     writeInts(zigzagLits, 0, numLiterals, fixedBits, out)
+    variableRunLength = 0
   }
 
   private def writeDelta(): Unit = {
@@ -238,6 +242,8 @@ final class RleV2Writer(val signed: Boolean, val out: ByteBuf = new ByteBuf(128)
       out.writeVslong(adjDeltas(0))
       writeInts(adjDeltas, 1, numLiterals - 2, fixedBits, out)
     }
+    if (isFixedDelta && fixedRunLength > MinRepeat) fixedRunLength = 0
+    else variableRunLength = 0
   }
 
   private def writePatchedBase(): Unit = {
@@ -258,6 +264,7 @@ final class RleV2Writer(val signed: Boolean, val out: ByteBuf = new ByteBuf(128)
     writeInts(baseReduced, 0, numLiterals, closestFixedBits(fb), out)
     writeInts(gapVsPatchList, 0, gapVsPatchList.length,
       closestFixedBits(patchGapWidth + patchWidth), out)
+    variableRunLength = 0
   }
 
   private def preparePatchedBlob(): Unit = {

@@ -1,0 +1,401 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.io.ByteArrayOutputStream
+import graft.core.columns._
+import graft.core.columns.MothType._
+import graft.core.compress.CompressionKind
+import graft.core.file._
+import graft.core.stats.BloomFilter
+
+class FileSpec extends AnyFunSuite {
+
+  private val rnd = new scala.util.Random(42)
+
+  /** Deterministic all-type test table. */
+  def makeVec(n: Int, nullEvery: Int, seed: Int): (TStruct, ColVec) = {
+    val r = new scala.util.Random(seed)
+    val schema = TStruct(Seq(
+      "b" -> TBoolean, "y" -> TByte, "i" -> TInt, "l" -> TLong,
+      "f" -> TFloat, "d" -> TDouble, "dec" -> TDecimal(12, 2),
+      "bigdec" -> TDecimal(30, 5),
+      "s" -> TString, "bin" -> TBinary, "dt" -> TDate, "ts" -> TTimestamp,
+      "arr" -> TList(TLong), "m" -> TMap(TString, TLong),
+      "st" -> TStruct(Seq("x" -> TLong, "y" -> TString))
+    ))
+    def nullsFor(off: Int): Array[Boolean] =
+      if (nullEvery == 0) null
+      else Array.tabulate(n)(i => (i + off) % nullEvery == 0)
+
+    val v = new ColVec(n)
+    v.children = new Array[ColVec](15)
+    def prim(idx: Int, off: Int)(fill: (ColVec, Array[Boolean]) => Unit): Unit = {
+      val c = new ColVec(n)
+      c.nulls = nullsFor(off)
+      fill(c, c.nulls)
+      v.children(idx) = c
+    }
+    prim(0, 1) { (c, _) => c.longs = Array.tabulate(n)(i => if (r.nextBoolean()) 1L else 0L) }
+    prim(1, 2) { (c, _) => c.longs = Array.tabulate(n)(i => (r.nextInt(256) - 128).toLong) }
+    prim(2, 3) { (c, _) => c.longs = Array.tabulate(n)(i => r.nextInt().toLong) }
+    prim(3, 4) { (c, _) => c.longs = Array.tabulate(n)(_ => r.nextLong()) }
+    prim(4, 5) { (c, _) => c.doubles = Array.tabulate(n)(_ => r.nextFloat().toDouble) }
+    prim(5, 6) { (c, _) => c.doubles = Array.tabulate(n)(_ => r.nextDouble() * 1e6) }
+    prim(6, 7) { (c, _) => c.longs = Array.tabulate(n)(_ => r.nextLong() % 100000000L) }
+    prim(7, 8) { (c, _) => c.bigs = Array.tabulate(n)(_ => BigInt(r.nextLong()) * BigInt(r.nextInt(1000) + 1)) }
+    prim(8, 9) { (c, _) =>
+      val words = Array("alpha", "beta", "gamma", "delta", "epsilon")
+      c.bins = Array.tabulate(n)(i => (words(r.nextInt(words.length)) * (1 + i % 3)).getBytes("UTF-8"))
+    }
+    prim(9, 10) { (c, _) => c.bins = Array.tabulate(n)(_ => Array.fill(r.nextInt(20))(r.nextInt(256).toByte)) }
+    prim(10, 11) { (c, _) => c.longs = Array.tabulate(n)(_ => 18000L + r.nextInt(4000)) }
+    prim(11, 12) { (c, _) => c.longs = Array.tabulate(n)(_ => 1735689600000000L + (r.nextLong() % 100000000000L)) }
+    // list<long>
+    locally {
+      val c = new ColVec(n)
+      c.nulls = nullsFor(13)
+      c.lengths = Array.tabulate(n)(i => if (c.isNull(i)) 0 else r.nextInt(4))
+      val total = (0 until n).map(i => if (c.isNull(i)) 0 else c.lengths(i)).sum
+      val e = new ColVec(total)
+      e.longs = Array.tabulate(total)(_ => r.nextLong() % 1000)
+      c.children = Array(e)
+      v.children(12) = c
+    }
+    // map<string,long>
+    locally {
+      val c = new ColVec(n)
+      c.nulls = nullsFor(14)
+      c.lengths = Array.tabulate(n)(i => if (c.isNull(i)) 0 else r.nextInt(3))
+      val total = (0 until n).map(i => if (c.isNull(i)) 0 else c.lengths(i)).sum
+      val k = new ColVec(total)
+      k.bins = Array.tabulate(total)(j => s"key$j".getBytes("UTF-8"))
+      val vv = new ColVec(total)
+      vv.longs = Array.tabulate(total)(_ => r.nextLong() % 500)
+      c.children = Array(k, vv)
+      v.children(13) = c
+    }
+    // struct<x:long, y:string>
+    locally {
+      val c = new ColVec(n)
+      c.nulls = nullsFor(15)
+      val nonNull = (0 until n).count(i => !c.isNull(i))
+      val x = new ColVec(nonNull)
+      x.longs = Array.tabulate(nonNull)(_.toLong * 7)
+      val y = new ColVec(nonNull)
+      y.bins = Array.tabulate(nonNull)(j => s"nested-$j".getBytes("UTF-8"))
+      c.children = Array(x, y)
+      v.children(14) = c
+    }
+    (schema, v)
+  }
+
+  def roundtrip(schema: TStruct, vecs: Seq[ColVec], kind: CompressionKind.Value,
+      opts: WriterOpts = WriterOpts()): (Array[Byte], Seq[ColVec]) = {
+    val bos = new ByteArrayOutputStream()
+    val w = new MothFileWriter(bos, schema, kind, opts)
+    vecs.foreach(w.write)
+    w.close()
+    val bytes = bos.toByteArray
+    val rd = MothFileReader.fromBytes(bytes)
+    val out = rd.batches().toSeq
+    (bytes, out)
+  }
+
+  def assertVecEqual(t: MothType, a: ColVec, b: Seq[ColVec]): Unit = {
+    // flatten b batches and compare value by value via a cursor
+    val flat = new VecCursor(t, b)
+    var i = 0
+    while (i < a.len) {
+      flat.assertRow(t, a, i)
+      i += 1
+    }
+    assert(flat.exhausted, "decoded more rows than written")
+  }
+
+  /** Cursor over a sequence of decoded ColVec batches. */
+  final class VecCursor(t: MothType, batches: Seq[ColVec]) {
+    private var bi = 0
+    private var ri = 0
+    // per-batch child cursors for nested values
+    private var childPos = Array.fill(8)(0)
+
+    def exhausted: Boolean = bi >= batches.length ||
+      (bi == batches.length - 1 && ri >= batches(bi).len)
+
+    def assertRow(t: MothType, expected: ColVec, ei: Int): Unit = {
+      while (bi < batches.length && ri >= batches(bi).len) { bi += 1; ri = 0; childPos = Array.fill(8)(0) }
+      assert(bi < batches.length, s"ran out of decoded rows at $ei")
+      val v = batches(bi)
+      compareRow(t, expected, ei, v, ri, childPos)
+      ri += 1
+    }
+
+    private def compareRow(t: MothType, a: ColVec, ai: Int, b: ColVec, biRow: Int,
+        bChildPos: Array[Int]): Unit = {
+      val an = a.isNull(ai)
+      val bn = b.isNull(biRow)
+      assert(an == bn, s"null mismatch at row $ai ($t)")
+      if (an) return
+      t match {
+        case TStruct(fields) =>
+          // children dense: need positions of the non-null row index
+          val aPos = countNonNullBefore(a, ai)
+          val bPos = countNonNullBefore(b, biRow)
+          fields.zipWithIndex.foreach { case ((_, ft), fi) =>
+            compareDense(ft, a.children(fi), aPos, b.children(fi), bPos)
+          }
+        case TList(et) =>
+          val aPos = countNonNullBefore(a, ai)
+          val bPos = countNonNullBefore(b, biRow)
+          assert(lengthAt(a, ai) == lengthAt(b, biRow), s"list length mismatch at $ai")
+        case _ =>
+          compareScalar(t, a, ai, b, biRow)
+      }
+    }
+
+    private def countNonNullBefore(v: ColVec, i: Int): Int = {
+      if (v.nulls == null) i
+      else (0 until i).count(j => !v.nulls(j))
+    }
+    private def lengthAt(v: ColVec, i: Int): Int = v.lengths(i)
+
+    private def compareDense(t: MothType, a: ColVec, ai: Int, b: ColVec, biv: Int): Unit =
+      compareScalar(t, a, ai, b, biv)
+
+    private def compareScalar(t: MothType, a: ColVec, ai: Int, b: ColVec, biv: Int): Unit = t match {
+      case TBoolean | TByte | TShort | TInt | TLong | TDate | TTimestamp | TTimestampInstant =>
+        assert(a.longs(ai) == b.longs(biv), s"$t value mismatch at $ai: ${a.longs(ai)} vs ${b.longs(biv)}")
+      case TFloat | TDouble =>
+        assert(java.lang.Double.doubleToLongBits(a.doubles(ai)) ==
+          java.lang.Double.doubleToLongBits(b.doubles(biv)), s"$t mismatch at $ai")
+      case TDecimal(p, _) if p <= 18 =>
+        assert(a.longs(ai) == b.longs(biv), s"decimal mismatch at $ai")
+      case TDecimal(_, _) =>
+        assert(a.bigs(ai) == b.bigs(biv), s"bigdecimal mismatch at $ai")
+      case TString | TBinary | _: TVarchar | _: TChar =>
+        assert(java.util.Arrays.equals(a.bins(ai), b.bins(biv)),
+          s"bytes mismatch at $ai: ${new String(a.bins(ai))} vs ${new String(b.bins(biv))}")
+      case other => fail(s"unexpected scalar type $other")
+    }
+  }
+
+  // === The real tests use full-table flattened comparison instead ===
+
+  /** Flatten decoded batches into per-field scalar sequences for equality. */
+  def flatten(t: TStruct, batches: Seq[ColVec]): Seq[Seq[Any]] = {
+    def scalarSeq(ft: MothType, v: ColVec): Seq[Any] = ft match {
+      case TFloat | TDouble => (0 until v.len).map(i => if (v.isNull(i)) null else v.doubles(i))
+      case TString | TBinary | _: TVarchar | _: TChar =>
+        (0 until v.len).map(i => if (v.isNull(i)) null else new String(v.bins(i).map(b => (b & 0xff).toChar)))
+      case TDecimal(p, _) if p > 18 => (0 until v.len).map(i => if (v.isNull(i)) null else v.bigs(i))
+      case l: TList =>
+        var e = 0
+        (0 until v.len).map { i =>
+          if (v.isNull(i)) null
+          else {
+            val n = v.lengths(i)
+            val vals = scalarSeq(l.elem, v.children(0)).slice(e, e + n)
+            e += n
+            vals
+          }
+        }
+      case m: TMap =>
+        var e = 0
+        val ks = scalarSeq(m.key, v.children(0))
+        val vs = scalarSeq(m.value, v.children(1))
+        (0 until v.len).map { i =>
+          if (v.isNull(i)) null
+          else { val n = v.lengths(i); val r = ks.slice(e, e + n).zip(vs.slice(e, e + n)); e += n; r }
+        }
+      case s: TStruct =>
+        var dense = 0
+        val fieldSeqs = s.fields.zipWithIndex.map { case ((_, ft2), fi) => scalarSeq(ft2, v.children(fi)) }
+        (0 until v.len).map { i =>
+          if (v.isNull(i)) null
+          else { val r = fieldSeqs.map(_(dense)); dense += 1; r }
+        }
+      case _ => (0 until v.len).map(i => if (v.isNull(i)) null else v.longs(i))
+    }
+    t.fields.zipWithIndex.map { case ((_, ft), fi) =>
+      batches.flatMap(b => scalarSeq(ft, b.children(fi)))
+    }
+  }
+
+  def fullCompare(schema: TStruct, written: Seq[ColVec], decoded: Seq[ColVec]): Unit = {
+    val a = flatten(schema, written)
+    val b = flatten(schema, decoded)
+    schema.fields.zipWithIndex.foreach { case ((name, _), fi) =>
+      assert(a(fi).size == b(fi).size, s"row count mismatch in $name")
+      a(fi).zip(b(fi)).zipWithIndex.foreach { case ((x, y), row) =>
+        assert(x == y, s"field $name row $row: $x != $y")
+      }
+    }
+  }
+
+  test("all-type file roundtrip, no nulls, ZLIB") {
+    val (schema, v) = makeVec(3000, 0, 1)
+    val (_, out) = roundtrip(schema, Seq(v), CompressionKind.ZLIB)
+    fullCompare(schema, Seq(v), out)
+  }
+
+  test("all-type file roundtrip with nulls, all codecs") {
+    val (schema, v) = makeVec(2000, 7, 2)
+    for (kind <- Seq(CompressionKind.NONE, CompressionKind.SNAPPY, CompressionKind.LZ4,
+      CompressionKind.ZSTD, CompressionKind.ZLIB)) {
+      val (_, out) = roundtrip(schema, Seq(v), kind)
+      fullCompare(schema, Seq(v), out)
+    }
+  }
+
+  test("multi-stripe multi-rowgroup roundtrip with tiny limits") {
+    val (schema, v) = makeVec(5000, 11, 3)
+    val opts = WriterOpts(rowGroupMaxRowCount = 100, stripeMaxRowCount = 750,
+      stripeMinBytes = 0, stripeMaxBytes = 1 << 20)
+    val (bytes, out) = roundtrip(schema, Seq(v), CompressionKind.ZLIB, opts)
+    fullCompare(schema, Seq(v), out)
+    val rd = MothFileReader.fromBytes(bytes)
+    assert(rd.footer.stripes.length == 7, s"expected 7 stripes, got ${rd.footer.stripes.length}")
+    assert(rd.rowCount == 5000)
+  }
+
+  test("multiple write calls crossing row group boundaries") {
+    val (schema, v1) = makeVec(777, 5, 4)
+    val (_, v2) = makeVec(777, 5, 5)
+    val (_, v3) = makeVec(1, 0, 6)
+    val opts = WriterOpts(rowGroupMaxRowCount = 100, stripeMaxRowCount = 1000,
+      stripeMinBytes = 0)
+    val (_, out) = roundtrip(schema, Seq(v1, v2, v3), CompressionKind.ZLIB, opts)
+    fullCompare(schema, Seq(v1, v2, v3), out)
+  }
+
+  test("empty file roundtrip") {
+    val schema = TStruct(Seq("a" -> TLong))
+    val (bytes, out) = roundtrip(schema, Nil, CompressionKind.ZLIB)
+    assert(out.isEmpty || out.forall(_.len == 0))
+    assert(MothFileReader.fromBytes(bytes).rowCount == 0)
+  }
+
+  test("projection reads only requested fields") {
+    val (schema, v) = makeVec(1000, 0, 7)
+    val bos = new ByteArrayOutputStream()
+    val w = new MothFileWriter(bos, schema, CompressionKind.ZLIB)
+    w.write(v)
+    w.close()
+    val rd = MothFileReader.fromBytes(bos.toByteArray)
+    val out = rd.batches(Some(Seq("i", "s"))).toSeq
+    val projected = TStruct(schema.fields.filter(f => Seq("i", "s").contains(f._1)))
+    assert(out.head.children.length == 2)
+    val a = flatten(schema, Seq(v))
+    val b = flatten(projected, out)
+    assert(a(2) == b(0)) // "i"
+    assert(a(8) == b(1)) // "s"
+  }
+
+  test("dictionary encoding kicks in for low-cardinality strings and roundtrips") {
+    val schema = TStruct(Seq("s" -> TString))
+    val n = 20000
+    val roles = Array("user", "assistant", "system", "tool")
+    val v = new ColVec(n)
+    val c = new ColVec(n)
+    c.bins = Array.tabulate(n)(i => roles(i % 4).getBytes("UTF-8"))
+    v.children = Array(c)
+    val (bytes, out) = roundtrip(schema, Seq(v), CompressionKind.NONE)
+    fullCompare(schema, Seq(v), out)
+    // encoded size must reflect dictionary compression (4 entries + 2-bit-ish indices)
+    assert(bytes.length < n, s"dictionary should compress: ${bytes.length}")
+  }
+
+  test("high-cardinality strings fall back to direct (low dict ratio)") {
+    val schema = TStruct(Seq("s" -> TString))
+    val n = 30000
+    val v = new ColVec(n)
+    val c = new ColVec(n)
+    val r = new scala.util.Random(9)
+    c.bins = Array.tabulate(n)(i => s"unique-value-$i-${r.nextLong()}".getBytes("UTF-8"))
+    v.children = Array(c)
+    // low stripeMinBytes so the optimizer's low-ratio sweep can trigger
+    val opts = WriterOpts(stripeMinBytes = 0, dictionaryMaxMemoryBytes = 64 * 1024)
+    val (bytes, out) = roundtrip(schema, Seq(v), CompressionKind.NONE, opts)
+    fullCompare(schema, Seq(v), out)
+    val rd = MothFileReader.fromBytes(bytes)
+    assert(rd.rowCount == n)
+  }
+
+  test("row-group pruning via long-range predicate") {
+    val schema = TStruct(Seq("id" -> TLong))
+    val n = 10000
+    val v = new ColVec(n)
+    val c = new ColVec(n)
+    c.longs = Array.tabulate(n)(_.toLong) // monotone: each 100-row group has tight range
+    v.children = Array(c)
+    val bos = new ByteArrayOutputStream()
+    val opts = WriterOpts(rowGroupMaxRowCount = 100)
+    val w = new MothFileWriter(bos, schema, CompressionKind.ZLIB, opts)
+    w.write(v)
+    w.close()
+    val rd = MothFileReader.fromBytes(bos.toByteArray)
+    val pred = StatsPredicate(Seq(LongRangePred("id", Some(5000L), Some(5099L))))
+    val out = rd.batches(predicate = pred).toSeq
+    val got = out.flatMap(b => b.children(0).longs.take(b.len))
+    assert(got == (5000L to 5099L).toSeq, s"pruned read got ${got.size} rows")
+  }
+
+  test("bloom filter pruning for string equality") {
+    val schema = TStruct(Seq("s" -> TString))
+    val n = 4000
+    val v = new ColVec(n)
+    val c = new ColVec(n)
+    c.bins = Array.tabulate(n)(i => s"val-${i / 100}-x".getBytes("UTF-8")) // 40 distinct, grouped
+    v.children = Array(c)
+    val bos = new ByteArrayOutputStream()
+    val opts = WriterOpts(rowGroupMaxRowCount = 100, bloomColumns = Set("s"))
+    val w = new MothFileWriter(bos, schema, CompressionKind.ZLIB, opts)
+    w.write(v)
+    w.close()
+    val rd = MothFileReader.fromBytes(bos.toByteArray)
+    val out = rd.batches(predicate = StatsPredicate(Seq(StringEqPred("s", "val-7-x")))).toSeq
+    val rows = out.map(_.len).sum
+    assert(rows == 100, s"expected 1 row group (100 rows), got $rows")
+    // absent value prunes everything
+    val none = rd.batches(predicate = StatsPredicate(Seq(StringEqPred("s", "nope")))).toSeq
+    assert(none.map(_.len).sum == 0)
+  }
+
+  test("bloom filter unit: reference test vector semantics") {
+    val bf = BloomFilter(10000, 0.05)
+    bf.addBytes("ORC_STRING".getBytes("UTF-8"))
+    bf.addLong(12345L)
+    assert(bf.testBytes("ORC_STRING".getBytes("UTF-8")))
+    assert(!bf.testBytes("ORC_STRING_not".getBytes("UTF-8")))
+    assert(bf.testLong(12345L))
+    assert(!bf.testLong(12346L))
+  }
+
+  test("FSST roundtrip and table serialization") {
+    import graft.core.fsst._
+    val values = Array.tabulate(500)(i => s"https://example.com/path/$i?session=abc$i".getBytes("UTF-8"))
+    val sample = Fsst.sampleOf(values.iterator)
+    val table = Fsst.train(sample)
+    assert(table.symbols.nonEmpty)
+    val ratio = Fsst.estimateRatio(table, sample)
+    assert(ratio < 0.7, s"FSST should compress URLs well, got $ratio")
+    val t2 = FsstTable.deserialize(table.serialize())
+    values.foreach { v =>
+      val enc = t2.encodeToArray(v)
+      assert(java.util.Arrays.equals(t2.decodeToArray(enc, 0, enc.length), v))
+    }
+  }
+
+  test("timestamp encodeNanos golden table") {
+    import TimestampColumnWriter._
+    // reference comment rows (TimestampColumnWriter.go:42-51)
+    assert(encodeNanos(0L) == 0L)
+    assert(encodeNanos(1000000L) == ((1L << 3) | 6L)) // 1 with 6 trailing zeros
+    assert(encodeNanos(100000L) == ((1L << 3) | 5L))
+    assert(encodeNanos(100L) == ((1L << 3) | 2L))
+    assert(encodeNanos(1L) == (1L << 3))
+    assert(encodeNanos(999999999L) == (999999999L << 3))
+    for (ns <- Seq(0L, 1L, 10L, 100L, 1000L, 123456789L, 999999999L, 500000000L, 123000000L, 120000000L))
+      assert(decodeNanos(encodeNanos(ns)) == ns, s"nanos $ns")
+  }
+}
