@@ -1,13 +1,167 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.columns.WriterOpts
+import graft.core.compress.CompressionKind
+import graft.spark.MothSpark
+
+/** Driver contract — one entry per implemented operator (SURVEY.md §2).
+  *
+  * The engine is a columnar encoder, so the primary correctness gate is the
+  * identity round-trip: every `roundtrip_*` query encodes the table to MOTH
+  * bytes and decodes it back inside mapPartitions — the oracle is plain
+  * `SELECT *`. Any encoder/decoder defect breaks the hash compare.
+  */
 object SparkEntry {
+
+  private def t(sfDir: String, name: String) = s"$sfDir/$name.parquet"
+
+  private def read(s: SparkSession, sfDir: String, name: String): DataFrame =
+    s.read.parquet(t(sfDir, name))
+
+  /** Identity round-trip through the full engine with a stable order. */
+  private def rt(s: SparkSession, sfDir: String, table: String, sortCols: Seq[String],
+      codec: CompressionKind.Value = CompressionKind.ZLIB): DataFrame =
+    MothSpark.roundtrip(read(s, sfDir, table), codec)
+      .orderBy(sortCols.map(col): _*)
+
+  /** Same SQL text runs on Spark (temp views) and DuckDB — semantic parity
+    * by construction for the training-data-ops queries.
+    */
+  private def bySql(s: SparkSession, sfDir: String, tables: Seq[String], sql: String): DataFrame = {
+    tables.foreach(n => read(s, sfDir, n).createOrReplaceTempView(n))
+    s.sql(sql)
+  }
+
+  /** Transcripts-shaped table (input_hint) derived deterministically from
+    * the events table; shared SQL with the DuckDB oracle.
+    */
+  val TranscriptsSql: String =
+    """SELECT concat('conv-', cast(user_id AS string)) AS conv_id,
+      |  cast(row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS int) AS turn_idx,
+      |  event_type AS role,
+      |  props AS text,
+      |  CASE WHEN event_id % 7 = 0 THEN concat('tool-', cast(event_id % 30 AS string)) END AS tool,
+      |  ts
+      |FROM events""".stripMargin
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    MothSpark.roundtrip(spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // — identity round-trips: full engine (all writers/readers) per table —
+    "roundtrip_nation" -> ((s, d) => rt(s, d, "nation", Seq("n_nationkey"))),
+    "roundtrip_lineitem" -> ((s, d) =>
+      rt(s, d, "lineitem", Seq("l_orderkey", "l_linenumber"))),
+    "roundtrip_orders" -> ((s, d) => rt(s, d, "orders", Seq("o_orderkey"))),
+    "roundtrip_documents" -> ((s, d) => rt(s, d, "documents", Seq("doc_id"))),
+    "roundtrip_events" -> ((s, d) => rt(s, d, "events", Seq("event_id"))),
+    "roundtrip_embeddings" -> ((s, d) => rt(s, d, "embeddings", Seq("vec_id"))),
+    // codec coverage on strings-heavy data
+    "roundtrip_documents_zstd" -> ((s, d) =>
+      rt(s, d, "documents", Seq("doc_id"), CompressionKind.ZSTD)),
+    "roundtrip_customer_lz4" -> ((s, d) =>
+      rt(s, d, "customer", Seq("c_custkey"), CompressionKind.LZ4)),
+
+    // — transcripts per input_hint (derived from events), round-tripped —
+    "transcripts_roundtrip" -> ((s, d) => {
+      read(s, d, "events").createOrReplaceTempView("events")
+      MothSpark.roundtrip(s.sql(TranscriptsSql))
+        .orderBy(col("conv_id"), col("turn_idx"))
+    }),
+
+    // — encoder statistics subsystem vs SQL aggregates —
+    "stats_lineitem" -> ((s, d) => {
+      import s.implicits._
+      val df = read(s, d, "lineitem")
+      val schema = df.schema
+      val perPart = df.mapPartitions { rows =>
+        if (rows.isEmpty) Iterator.empty
+        else {
+        val bos = new java.io.ByteArrayOutputStream()
+        val res = MothSpark.encodeRows(schema, rows, bos, CompressionKind.ZLIB, WriterOpts())
+        val qtyStats = res.fileStats(schema.fieldIndex("l_quantity") + 1)
+        val okStats = res.fileStats(schema.fieldIndex("l_orderkey") + 1)
+        val d0 = qtyStats.doubleStats
+        val i0 = okStats.intStats
+        Iterator.single((res.rows, d0.map(_.min).getOrElse(0.0), d0.map(_.max).getOrElse(0.0),
+          i0.map(_.min).getOrElse(0L), i0.map(_.max).getOrElse(0L)))
+        }
+      }.toDF("cnt", "minq", "maxq", "mink", "maxk")
+      perPart.agg(
+        sum("cnt").as("cnt"),
+        min("minq").as("min_qty"), max("maxq").as("max_qty"),
+        min("mink").as("min_okey"), max("maxk").as("max_okey"))
+    }),
+
+    // — stats/bloom pruning path, distributed, with residual filter —
+    "prune_orders" -> ((s, d) => {
+      import graft.core.file._
+      val df = read(s, d, "orders")
+      val schema = df.schema
+      val enc = org.apache.spark.sql.Encoders.row(schema)
+      df.mapPartitions { rows =>
+        if (rows.isEmpty) Iterator.empty
+        else {
+          val bos = new java.io.ByteArrayOutputStream()
+          MothSpark.encodeRows(schema, rows, bos, CompressionKind.ZLIB,
+            WriterOpts(rowGroupMaxRowCount = 1000))
+          val rd = MothFileReader.fromBytes(bos.toByteArray)
+          val pred = StatsPredicate(Seq(LongRangePred("o_orderkey", Some(1000L), Some(5000L))))
+          val sch = graft.spark.SparkBridge.toSparkSchema(rd.schema)
+          rd.batches(predicate = pred).flatMap(v => graft.spark.SparkBridge.vecToRows(sch, v))
+        }
+      }(enc).filter(col("o_orderkey").between(1000L, 5000L)).orderBy("o_orderkey")
+    }),
+
+    // — training-data ops (shared SQL text with the oracle) —
+    "dedup_exact" -> ((s, d) => bySql(s, d, Seq("documents"), DedupExactSql)),
+    "text_quality" -> ((s, d) => bySql(s, d, Seq("documents"), TextQualitySql)),
+    "lang_id" -> ((s, d) => bySql(s, d, Seq("documents"), LangIdSql))
+  )
+
+  val DedupExactSql: String =
+    """SELECT text, cast(min(doc_id) AS bigint) AS keep_id, count(*) AS dups
+      |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin
+
+  val TextQualitySql: String =
+    """SELECT doc_id,
+      |  cast(length(text) AS bigint) AS n_chars,
+      |  cast(length(text) - length(replace(text, ' ', '')) + 1 AS bigint) AS n_tokens,
+      |  cast(length(text) - length(replace(text, '.', '')) AS bigint) AS n_periods
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val LangIdSql: String =
+    """SELECT doc_id, lang,
+      |  CASE WHEN text LIKE '% the %' OR text LIKE '% and %' THEN 'en'
+      |       WHEN text LIKE '% der %' OR text LIKE '% und %' THEN 'de'
+      |       WHEN text LIKE '% le %' OR text LIKE '% et %' THEN 'fr'
+      |       ELSE 'unknown' END AS lang_pred
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** DuckDB-runnable oracle per query (identical semantics; identical
+    * column names — the driver sorts columns by name before hashing).
+    */
+  def oracleSql: Map[String, String] = Map(
+    "roundtrip_nation" -> "SELECT * FROM nation ORDER BY n_nationkey",
+    "roundtrip_lineitem" -> "SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber",
+    "roundtrip_orders" -> "SELECT * FROM orders ORDER BY o_orderkey",
+    "roundtrip_documents" -> "SELECT * FROM documents ORDER BY doc_id",
+    "roundtrip_events" -> "SELECT * FROM events ORDER BY event_id",
+    "roundtrip_embeddings" -> "SELECT * FROM embeddings ORDER BY vec_id",
+    "roundtrip_documents_zstd" -> "SELECT * FROM documents ORDER BY doc_id",
+    "roundtrip_customer_lz4" -> "SELECT * FROM customer ORDER BY c_custkey",
+    "transcripts_roundtrip" ->
+      s"SELECT * FROM ($TranscriptsSql) ORDER BY conv_id, turn_idx",
+    "stats_lineitem" ->
+      """SELECT count(*) AS cnt, min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+        |  min(l_orderkey) AS min_okey, max(l_orderkey) AS max_okey FROM lineitem""".stripMargin,
+    "prune_orders" ->
+      "SELECT * FROM orders WHERE o_orderkey BETWEEN 1000 AND 5000 ORDER BY o_orderkey",
+    "dedup_exact" -> DedupExactSql,
+    "text_quality" -> TextQualitySql,
+    "lang_id" -> LangIdSql
+  )
 }

@@ -90,9 +90,9 @@ final class FsstStringColumnWriter(id: Int, table: FsstTable, statsLimit: Int)
   def rawBytes: Long = rawBytesTotal
 
   override def writeValue(b: Array[Byte]): Unit = {
-    val enc = table.encodeToArray(b)
-    lengths.writeLong(enc.length.toLong)
-    data.writeBytes(enc)
+    val before = data.size
+    table.encode(b, data) // in-place into the DATA buffer: no per-value alloc
+    lengths.writeLong((data.size - before).toLong)
     rawBytesTotal += b.length
     statsBuilder match { case s: StringStatsBuilder => s.add(b); case _ => }
     if (bloom != null) bloom.addBytes(b)

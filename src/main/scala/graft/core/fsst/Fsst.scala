@@ -14,7 +14,7 @@ final class FsstTable(val symbols: Array[Array[Byte]]) {
   require(symbols.length <= 255)
 
   // first-byte index; within a bucket, longest symbols first (greedy match)
-  private val buckets: Array[Array[Int]] = {
+  private[fsst] val buckets: Array[Array[Int]] = {
     val tmp = Array.fill(256)(new ArrayBuffer[Int])
     var i = 0
     while (i < symbols.length) { tmp(symbols(i)(0) & 0xff) += i; i += 1 }
@@ -150,7 +150,7 @@ object Fsst {
       var code = -1
       var symLen = 1
       var bi = 0
-      val bucket = bucketOf(table, sample(pos) & 0xff)
+      val bucket = table.buckets(sample(pos) & 0xff)
       while (code < 0 && bi < bucket.length) {
         val sid = bucket(bi)
         val sym = table.symbols(sid)
@@ -195,12 +195,6 @@ object Fsst {
       .take(MaxSymbols)
       .map(_._1)
     new FsstTable(top)
-  }
-
-  private def bucketOf(table: FsstTable, first: Int): Array[Int] = {
-    // recompute small buckets here (training only; encode path uses FsstTable's)
-    val ids = table.symbols.indices.filter(i => (table.symbols(i)(0) & 0xff) == first)
-    ids.sortBy(i => -table.symbols(i).length).toArray
   }
 
   private def prefixEq(src: Array[Byte], pos: Int, sym: Array[Byte]): Boolean = {

@@ -1,0 +1,98 @@
+package graft.spark
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.columns.WriterOpts
+import graft.core.compress.CompressionKind
+
+/** spark-submit entry point: encode a transcripts table (generated, or any
+  * parquet input) into per-partition MOTH files with lineage manifests.
+  *
+  * Pipeline (north rule): typed Dataset → salt heavy conversations →
+  * range-partitioned shuffle keeping (conv_id, salt, turn_idx) contiguous →
+  * sortWithinPartitions → mapPartitions(single-threaded stripe encoder) →
+  * per-partition file + manifest; driver merges metrics. Resume = re-run
+  * with the same args; partitions with a valid manifest are skipped.
+  *
+  * Usage:
+  *   EncodeJob --out DIR [--turns N | --input PARQUET_DIR]
+  *     [--partitions P] [--codec zlib|snappy|lz4|zstd|none]
+  *     [--cpus N] [--partitioning range|hash] [--salt-block K] [--seed S]
+  *
+  * `hash` partitioning assigns pid = pmod(xxhash64(conv_id) + salt, P)
+  * explicitly — fully deterministic across restarts (byte-identical
+  * resume); `range` (default) uses Catalyst's repartitionByRange, which
+  * balances better but samples bounds.
+  */
+object EncodeJob {
+  def main(args: Array[String]): Unit = {
+    val a = parseArgs(args)
+    val cpus = a.getOrElse("cpus", sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
+      .appName("graft-encode")
+      .config("spark.sql.shuffle.partitions", a.getOrElse("partitions", cpus))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val result = run(spark, a)
+      println(result)
+    } finally spark.stop()
+  }
+
+  def parseArgs(args: Array[String]): Map[String, String] =
+    args.sliding(2, 2).collect { case Array(k, v) if k.startsWith("--") => k.drop(2) -> v }.toMap
+
+  def run(spark: SparkSession, a: Map[String, String]): String = {
+    val out = a.getOrElse("out", sys.error("--out required"))
+    val partitions = a.getOrElse("partitions", spark.sparkContext.defaultParallelism.toString).toInt
+    val codec = CompressionKind.withName(a.getOrElse("codec", "zlib").toUpperCase)
+    val saltBlock = a.getOrElse("salt-block", "65536").toInt
+    val seed = a.getOrElse("seed", "42").toLong
+    val mode = a.getOrElse("partitioning", "range")
+
+    val (input, snapshotId) = a.get("input") match {
+      case Some(path) =>
+        (spark.read.parquet(path), s"parquet:$path")
+      case None =>
+        val turns = a.getOrElse("turns", "1000000").toLong
+        (TranscriptGen.transcripts(spark, turns, seed), s"gen:seed=$seed:turns=${a.getOrElse("turns", "1000000")}")
+    }
+
+    val salted = TranscriptGen.withSalt(input, saltBlock)
+    val shuffled = mode match {
+      case "hash" =>
+        // explicit pid + range partitioning on it: pid k → partition k
+        // exactly (a plain repartition(P, pid) would re-hash the pid and
+        // leave ~1/e of the partitions empty), deterministic across restarts
+        salted
+          .withColumn("__pid", pmod(xxhash64(col("conv_id")) + col("salt"), lit(partitions)))
+          .repartitionByRange(partitions, col("__pid"), col("conv_id"), col("turn_idx"))
+          .sortWithinPartitions(col("conv_id"), col("turn_idx"))
+          .drop("__pid", "salt")
+      case _ =>
+        salted
+          .repartitionByRange(partitions, col("conv_id"), col("salt"), col("turn_idx"))
+          .sortWithinPartitions(col("conv_id"), col("turn_idx"))
+          .drop("salt")
+    }
+
+    val t0 = System.nanoTime()
+    val manifests = MothSpark.writeFiles(shuffled, out,
+      s"$snapshotId:p=$partitions:codec=$codec:mode=$mode",
+      codec, WriterOpts(), firstKeyCols = Seq("conv_id", "turn_idx"))
+    val secs = (System.nanoTime() - t0) / 1e9
+    val rows = manifests.map(_.rows).sum
+    val raw = manifests.map(_.rawBytes).sum
+    val bytes = manifests.map(_.fileBytes).sum
+    val summary =
+      s"""{"rows":$rows,"rawBytes":$raw,"fileBytes":$bytes,""" +
+        f""""ratio":${if (bytes == 0) 0.0 else raw.toDouble / bytes}%.3f,""" +
+        f""""seconds":$secs%.2f,"turnsPerSec":${rows / secs}%.0f,""" +
+        s""""partitions":${manifests.size},"codec":"$codec","mode":"$mode"}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$out/_SUMMARY.json"), summary)
+    summary
+  }
+}

@@ -1,0 +1,200 @@
+package graft.spark
+
+import java.io.{ByteArrayOutputStream, File, FileOutputStream}
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.types.StructType
+import graft.core.columns.WriterOpts
+import graft.core.compress.CompressionKind
+import graft.core.file._
+import graft.spark.SparkBridge._
+
+/** Spark-facing operators of the engine. All encode/decode work happens
+  * inside mapPartitions on executors (SURVEY.md §3.1 re-architecture):
+  * Catalyst handles projection/partitioning upstream; one single-threaded
+  * encoder instance per task.
+  */
+object MothSpark {
+  val BatchSize = 1024
+
+  /** Encode an iterator of rows into `out`; the caller owns the stream. */
+  def encodeRows(schema: StructType, rows: Iterator[Row], out: java.io.OutputStream,
+      compression: CompressionKind.Value, opts: WriterOpts): FileWriteResult = {
+    val moth = toMothStruct(schema)
+    val w = new MothFileWriter(out, moth, compression, opts)
+    val buf = new collection.mutable.ArrayBuffer[Row](BatchSize)
+    while (rows.hasNext) {
+      buf.clear()
+      while (rows.hasNext && buf.length < BatchSize) buf += rows.next()
+      w.write(rowsToVec(schema, buf))
+    }
+    w.close()
+  }
+
+  /** Decode a MOTH byte source to rows. */
+  def decodeRows(bytes: Array[Byte]): Iterator[Row] = {
+    val rd = MothFileReader.fromBytes(bytes)
+    val schema = toSparkSchema(rd.schema)
+    rd.batches().flatMap(v => vecToRows(schema, v))
+  }
+
+  /** Distributed encode→decode identity operator: every partition round-trips
+    * through the full engine in memory. The correctness oracle for the
+    * driver's DuckDB compare (identity SQL).
+    */
+  def roundtrip(df: DataFrame,
+      compression: CompressionKind.Value = CompressionKind.ZLIB,
+      opts: WriterOpts = WriterOpts()): DataFrame = {
+    val schema = df.schema
+    df.mapPartitions { rows =>
+      if (rows.isEmpty) Iterator.empty
+      else {
+        val bos = new ByteArrayOutputStream()
+        encodeRows(schema, rows, bos, compression, opts)
+        decodeRows(bos.toByteArray)
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Writes one MOTH file per partition + a manifest JSON carrying lineage
+    * (snapshot id, key bounds, stripe offsets/codecs, metrics). Partitions
+    * whose manifest already exists and matches the snapshot are skipped —
+    * the north rule's resumable checkpointing.
+    * @return per-partition manifests (read back from disk).
+    */
+  def writeFiles(df: DataFrame, outDir: String, snapshotId: String,
+      compression: CompressionKind.Value = CompressionKind.ZLIB,
+      opts: WriterOpts = WriterOpts(),
+      firstKeyCols: Seq[String] = Nil): Seq[Manifest] = {
+    new File(outDir).mkdirs()
+    val schema = df.schema
+    val keyIdx = firstKeyCols.map(schema.fieldIndex)
+    val counts = df.mapPartitions { rows =>
+      val pid = TaskContext.getPartitionId()
+      val mPath = Manifest.path(outDir, pid)
+      val existing = Manifest.readIfValid(mPath, snapshotId)
+      if (existing.isDefined) {
+        // resume: drain without encoding (upstream compute is unavoidable;
+        // encode + IO are skipped)
+        var n = 0L
+        while (rows.hasNext) { rows.next(); n += 1 }
+        Iterator.single(pid.toLong)
+      } else if (rows.isEmpty) {
+        Manifest(pid, snapshotId, 0, 0, 0, null, Nil, None, None).write(mPath)
+        Iterator.single(pid.toLong)
+      } else {
+        val file = f"part-$pid%05d.moth"
+        val tmp = new File(outDir, file + ".tmp")
+        val fos = new java.io.BufferedOutputStream(new FileOutputStream(tmp), 1 << 16)
+        var firstKey: Option[String] = None
+        var lastKey: Option[String] = None
+        val tracked = if (keyIdx.isEmpty) rows else rows.map { r =>
+          val k = keyIdx.map(i => String.valueOf(r.get(i))).mkString("|")
+          if (firstKey.isEmpty) firstKey = Some(k)
+          lastKey = Some(k)
+          r
+        }
+        val res = encodeRows(schema, tracked, fos, compression, opts)
+        fos.close()
+        val dst = new File(outDir, file)
+        if (!tmp.renameTo(dst)) throw new java.io.IOException(s"rename $tmp failed")
+        Manifest(pid, snapshotId, res.rows, res.stripes.map(_.rawBytes).sum, res.bytes,
+          file, res.stripes, firstKey, lastKey).write(mPath)
+        Iterator.single(pid.toLong)
+      }
+    }(Encoders.scalaLong).collect()
+    counts.sorted.toSeq.map(pid => Manifest.read(Manifest.path(outDir, pid.toInt)))
+  }
+
+  /** Reads a directory of MOTH files back as a DataFrame (one task per
+    * file; stripe-level split planning would subdivide further on a real
+    * cluster — files here are already partition-sized).
+    */
+  def readFiles(spark: SparkSession, dir: String): DataFrame = {
+    val files = new File(dir).listFiles((_, n) => n.endsWith(".moth")).map(_.getAbsolutePath).sorted
+    require(files.nonEmpty, s"no .moth files in $dir")
+    val schema = {
+      val rd = MothFileReader.fromPath(files.head)
+      val s = toSparkSchema(rd.schema)
+      rd.close()
+      s
+    }
+    val rdd = spark.sparkContext.parallelize(files.toSeq, files.length).flatMap { path =>
+      val rd = MothFileReader.fromPath(path)
+      val sch = toSparkSchema(rd.schema)
+      rd.batches().flatMap(v => vecToRows(sch, v))
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+}
+
+/** Per-partition lineage record (north rule: input snapshot id, stripe
+  * offsets/codec choices, metrics). Hand-rolled JSON (no deps).
+  */
+final case class Manifest(partition: Int, snapshotId: String, rows: Long,
+    rawBytes: Long, fileBytes: Long, file: String,
+    stripes: Seq[StripeMetrics], firstKey: Option[String], lastKey: Option[String]) {
+
+  def write(path: String): Unit = {
+    val tmp = path + ".tmp"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(tmp), Manifest.toJson(this))
+    java.nio.file.Files.move(java.nio.file.Paths.get(tmp), java.nio.file.Paths.get(path),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+}
+
+object Manifest {
+  def path(dir: String, pid: Int): String = f"$dir/manifest-$pid%05d.json"
+
+  private def q(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  def toJson(m: Manifest): String = {
+    val stripes = m.stripes.map { s =>
+      s"""{"rows":${s.rows},"rawBytes":${s.rawBytes},"compressedBytes":${s.compressedBytes},""" +
+        s""""flushReason":${q(s.flushReason)},"encodings":{${
+          s.encodings.toSeq.sortBy(_._1).map { case (c, e) => s"${q(c.toString)}:${q(e)}" }.mkString(",")
+        }}}"""
+    }.mkString("[", ",", "]")
+    s"""{"partition":${m.partition},"snapshotId":${q(m.snapshotId)},"rows":${m.rows},""" +
+      s""""rawBytes":${m.rawBytes},"fileBytes":${m.fileBytes},""" +
+      s""""file":${if (m.file == null) "null" else q(m.file)},""" +
+      s""""firstKey":${m.firstKey.map(q).getOrElse("null")},""" +
+      s""""lastKey":${m.lastKey.map(q).getOrElse("null")},""" +
+      s""""complete":true,"stripes":$stripes}"""
+  }
+
+  /** Minimal JSON field scraping — we only read back what we wrote. */
+  def read(path: String): Manifest = {
+    val s = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
+    def longOf(k: String): Long = {
+      val m = java.util.regex.Pattern.compile("\"" + k + "\":(-?\\d+)").matcher(s)
+      require(m.find(), s"missing $k in $path")
+      m.group(1).toLong
+    }
+    def strOf(k: String): Option[String] = {
+      val m = java.util.regex.Pattern.compile("\"" + k + "\":\"((?:[^\"\\\\]|\\\\.)*)\"").matcher(s)
+      if (m.find()) Some(m.group(1).replace("\\\"", "\"").replace("\\\\", "\\")) else None
+    }
+    Manifest(longOf("partition").toInt, strOf("snapshotId").getOrElse(""),
+      longOf("rows"), longOf("rawBytes"), longOf("fileBytes"),
+      strOf("file").orNull, Nil, strOf("firstKey"), strOf("lastKey"))
+  }
+
+  def readIfValid(path: String, snapshotId: String): Option[Manifest] = {
+    val f = new File(path)
+    if (!f.exists()) None
+    else {
+      try {
+        val m = read(path)
+        if (m.snapshotId == snapshotId) Some(m) else None
+      } catch { case _: Exception => None }
+    }
+  }
+}
