@@ -210,13 +210,32 @@ final class StringDictionaryColumnWriter(val columnId: Int, opts: WriterOpts,
     }
   }
 
+  /** FSST is accepted only if it still wins AFTER the file's generic codec
+    * (cost model on a ~16KB sample): fsst-then-codec + table bytes vs codec
+    * alone — FSST output resists LZ-style matching, so the pre-compression
+    * ratio alone overstates its value under ZLIB/ZSTD.
+    */
   private def chooseDirectWriter(): BinaryColumnWriter = {
     if (opts.fsstEnabled && dict.entryCount > 0) {
       val sample = Fsst.sampleOf((1 to dict.entryCount).iterator.map(dict.entry))
-      if (sample.length >= 256) {
+      if (sample.length >= 1024) {
         val table = Fsst.train(sample)
-        if (table.symbols.nonEmpty && Fsst.estimateRatio(table, sample) < 0.8)
-          return withBloom(new FsstStringColumnWriter(columnId, table, opts.stringStatsLimit))
+        if (table.symbols.nonEmpty) {
+          import graft.core.compress.{Chunked, CompressionKind}
+          import graft.core.io.ByteBuf
+          def compressedSize(b: Array[Byte]): Int =
+            if (opts.codec == CompressionKind.NONE) b.length
+            else {
+              val o = new ByteBuf(b.length / 2 + 64)
+              Chunked.compress(opts.codec, b, 0, b.length, o, opts.compressionChunkSize)
+              o.size
+            }
+          val fsstSample = table.encodeToArray(sample)
+          val withFsst = compressedSize(fsstSample) + table.serialize().length
+          val plain = compressedSize(sample)
+          if (withFsst < plain * 0.95)
+            return withBloom(new FsstStringColumnWriter(columnId, table, opts.stringStatsLimit))
+        }
       }
     }
     withBloom(new BinaryColumnWriter(columnId, new StringStatsBuilder(opts.stringStatsLimit)))

@@ -88,7 +88,8 @@ final case class WriterOpts(
     bloomFpp: Double = 0.05,
     bloomColumns: Set[String] = Set.empty,
     fsstEnabled: Boolean = true,
-    compressionChunkSize: Int = 256 * 1024
+    compressionChunkSize: Int = 256 * 1024,
+    codec: graft.core.compress.CompressionKind.Value = graft.core.compress.CompressionKind.ZLIB
 ) {
   def bloomFor(path: String): Option[BloomSpec] =
     if (bloomColumns.contains(path)) Some(BloomSpec(rowGroupMaxRowCount, bloomFpp)) else None

@@ -103,8 +103,9 @@ final case class FileWriteResult(rows: Long, bytes: Long, stripes: Seq[StripeMet
   * design: one instance per Spark partition task.
   */
 final class MothFileWriter(out: OutputStream, schema: MothType.TStruct,
-    compression: CompressionKind.Value, opts: WriterOpts = WriterOpts()) {
+    compression: CompressionKind.Value, opts0: WriterOpts = WriterOpts()) {
 
+  private val opts = opts0.copy(codec = compression)
   private val root = ColumnWriter.createTree(schema, opts)
   private val optimizer = new DictionaryOptimizer(
     ColumnWriter.dictionaryWriters(root),

@@ -21,18 +21,50 @@ final class FsstTable(val symbols: Array[Array[Byte]]) {
     tmp.map(b => b.toArray.sortBy(id => -symbols(id).length))
   }
 
+  // fast matcher (paper §4): single-byte code table + 2-byte-prefix index
+  // for longer symbols, so the common path does one or two array loads
+  private val oneByteCode: Array[Int] = {
+    val t = Array.fill(256)(-1)
+    var i = 0
+    while (i < symbols.length) {
+      if (symbols(i).length == 1) t(symbols(i)(0) & 0xff) = i
+      i += 1
+    }
+    t
+  }
+  private val twoBytePrefix: Array[Array[Int]] = {
+    val t = new Array[Array[Int]](65536)
+    val tmp = new java.util.HashMap[Integer, ArrayBuffer[Int]]()
+    var i = 0
+    while (i < symbols.length) {
+      val s = symbols(i)
+      if (s.length >= 2) {
+        val k = ((s(0) & 0xff) << 8) | (s(1) & 0xff)
+        tmp.computeIfAbsent(k, _ => new ArrayBuffer[Int]) += i
+      }
+      i += 1
+    }
+    tmp.forEach { (k, v) => t(k) = v.toArray.sortBy(id => -symbols(id).length) }
+    t
+  }
+
   def encode(src: Array[Byte], out: ByteBuf): Unit = {
     var pos = 0
     val n = src.length
     while (pos < n) {
-      val bucket = buckets(src(pos) & 0xff)
       var matched = -1
-      var bi = 0
-      while (matched < 0 && bi < bucket.length) {
-        val sym = symbols(bucket(bi))
-        if (sym.length <= n - pos && startsWith(src, pos, sym)) matched = bucket(bi)
-        bi += 1
+      if (pos + 1 < n) {
+        val cands = twoBytePrefix(((src(pos) & 0xff) << 8) | (src(pos + 1) & 0xff))
+        if (cands != null) {
+          var bi = 0
+          while (matched < 0 && bi < cands.length) {
+            val sym = symbols(cands(bi))
+            if (sym.length <= n - pos && startsWith(src, pos, sym)) matched = cands(bi)
+            bi += 1
+          }
+        }
       }
+      if (matched < 0) matched = oneByteCode(src(pos) & 0xff)
       if (matched >= 0) {
         out.writeByte(matched)
         pos += symbols(matched).length

@@ -64,12 +64,21 @@ object EncodeJob {
     val salted = TranscriptGen.withSalt(input, saltBlock)
     val shuffled = mode match {
       case "hash" =>
-        // explicit pid + range partitioning on it: pid k → partition k
-        // exactly (a plain repartition(P, pid) would re-hash the pid and
-        // leave ~1/e of the partitions empty), deterministic across restarts
-        salted
-          .withColumn("__pid", pmod(xxhash64(col("conv_id")) + col("salt"), lit(partitions)))
-          .repartitionByRange(partitions, col("__pid"), col("conv_id"), col("turn_idx"))
+        // Fully deterministic placement: pid k → partition k via an explicit
+        // identity Partitioner. This is the one deliberate RDD hop in the
+        // engine (SURVEY.md §7.3 #5): both repartition(P, pid) (re-hashes
+        // the pid, leaves ~1/e of partitions empty) and repartitionByRange
+        // (samples bounds with RDD-id-dependent seeds — NOT stable across
+        // re-runs) fail the byte-identical-resume requirement.
+        val withPid = salted.withColumn("__pid",
+          pmod(xxhash64(col("conv_id")) + col("salt"), lit(partitions)).cast("int"))
+        val pidIdx = withPid.schema.fieldIndex("__pid")
+        val part = new org.apache.spark.Partitioner {
+          def numPartitions: Int = partitions
+          def getPartition(key: Any): Int = key.asInstanceOf[Int]
+        }
+        val rdd = withPid.rdd.map(r => (r.getInt(pidIdx), r)).partitionBy(part).values
+        spark.createDataFrame(rdd, withPid.schema)
           .sortWithinPartitions(col("conv_id"), col("turn_idx"))
           .drop("__pid", "salt")
       case _ =>
