@@ -119,8 +119,60 @@ object SparkEntry {
     // — training-data ops (shared SQL text with the oracle) —
     "dedup_exact" -> ((s, d) => bySql(s, d, Seq("documents"), DedupExactSql)),
     "text_quality" -> ((s, d) => bySql(s, d, Seq("documents"), TextQualitySql)),
-    "lang_id" -> ((s, d) => bySql(s, d, Seq("documents"), LangIdSql))
+    "lang_id" -> ((s, d) => bySql(s, d, Seq("documents"), LangIdSql)),
+    "fingerprint_docs" -> ((s, d) => bySql(s, d, Seq("documents"), FingerprintSql)),
+
+    // — dedup via MinHash+LSH / SimHash on documents + planted near-dups:
+    //   the recovered pair set must be exactly the planted set —
+    // the corpus contains organic near-dups too; the oracle-checked output
+    // is restricted to the planted id-domain (doc_b = doc_a + 100000) so the
+    // expected set is static — recall of ALL planted pairs is the check
+    "dedup_minhash" -> ((s, d) => {
+      import graft.spark.TextOps
+      TextOps.minHashPairs(s, TextOps.withPlantedNearDups(read(s, d, "documents")))
+        .filter(col("doc_b") === col("doc_a") + 100000L)
+        .orderBy("doc_a")
+    }),
+    "dedup_simhash" -> ((s, d) => {
+      import graft.spark.TextOps
+      TextOps.simHashPairs(s, TextOps.withPlantedExactDups(read(s, d, "documents")))
+        .filter(col("doc_b") === col("doc_a") + 100000L)
+        .select("doc_a", "doc_b").orderBy("doc_a")
+    }),
+
+    // — similarity search over embeddings: brute-force cosine top-k
+    //   (broadcast query side) + LSH-bucketed recall (the scale path) —
+    "ann_cosine_topk" -> ((s, d) => {
+      graft.spark.TextOps.cosineTopK(s, read(s, d, "embeddings"))
+    }),
+    "ann_lsh_recall" -> ((s, d) => {
+      graft.spark.TextOps.lshCosineRecall(s, read(s, d, "embeddings"))
+    })
   )
+
+  val FingerprintSql: String =
+    "SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id"
+
+  /** Planted near-dup pair set (mirrors TextOps.withPlantedNearDups). */
+  val PlantedPairsSql: String =
+    """SELECT doc_id AS doc_a, doc_id + 100000 AS doc_b FROM documents
+      |WHERE text IS NOT NULL AND length(text) >= 200 AND doc_id % 5 = 0
+      |ORDER BY doc_a""".stripMargin
+
+  val PlantedExactPairsSql: String =
+    """SELECT doc_id AS doc_a, doc_id + 100000 AS doc_b FROM documents
+      |WHERE text IS NOT NULL AND doc_id % 5 = 0
+      |ORDER BY doc_a""".stripMargin
+
+  val AnnTopKSql: String =
+    """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+      |s AS (SELECT qid, vec_id, round(CAST(list_cosine_similarity(embedding, qe) AS double), 4) AS sim
+      |      FROM embeddings, q WHERE vec_id <> qid)
+      |SELECT qid, vec_id, sim FROM (
+      |  SELECT qid, vec_id, sim,
+      |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+      |  FROM s) t
+      |WHERE rn <= 5 ORDER BY qid, vec_id""".stripMargin
 
   val DedupExactSql: String =
     """SELECT text, cast(min(doc_id) AS bigint) AS keep_id, count(*) AS dups
@@ -162,6 +214,11 @@ object SparkEntry {
       "SELECT * FROM orders WHERE o_orderkey BETWEEN 1000 AND 5000 ORDER BY o_orderkey",
     "dedup_exact" -> DedupExactSql,
     "text_quality" -> TextQualitySql,
-    "lang_id" -> LangIdSql
+    "lang_id" -> LangIdSql,
+    "fingerprint_docs" -> FingerprintSql,
+    "dedup_minhash" -> PlantedPairsSql,
+    "dedup_simhash" -> PlantedExactPairsSql,
+    "ann_cosine_topk" -> AnnTopKSql
+    // ann_lsh_recall: not SQL-expressible → driver rows-only check
   )
 }

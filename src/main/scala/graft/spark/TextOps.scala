@@ -1,0 +1,248 @@
+package graft.spark
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.stats.Murmur3
+
+/** Large-scale training-data pipeline operators (dedup / similarity), built
+  * Spark-first: per-partition signature computation (mapPartitions, no
+  * driver collection), LSH bucket joins as shuffles on band keys, broadcast
+  * for small query sides. All seeded/deterministic.
+  */
+object TextOps {
+
+  val MinHashK = 32
+  val Bands = 8
+  val RowsPerBand: Int = MinHashK / Bands
+  val ShingleLen = 5
+
+  /** Seeded 64-bit hash of a byte window (xor-fold seed into murmur). */
+  @inline private def shingleHash(bytes: Array[Byte], off: Int, len: Int): Long = {
+    // rolling-friendly polynomial hash (Rabin-Karp style) — cheap and stable
+    var h = 1125899906842597L
+    var i = off
+    while (i < off + len) { h = 31 * h + bytes(i); i += 1 }
+    h
+  }
+
+  /** k-minhash signature over character shingles. One pass per doc: for
+    * each shingle, one base hash mixed with k seed constants (standard
+    * "one-permutation-ish" trick: h_i = base * A_i + B_i).
+    */
+  def minHashSignature(text: String, k: Int = MinHashK): Array[Long] = {
+    val bytes = text.getBytes("UTF-8")
+    val sig = Array.fill(k)(Long.MaxValue)
+    if (bytes.length < ShingleLen) {
+      val base = Murmur3.hash64(bytes)
+      var i = 0
+      while (i < k) { sig(i) = mix(base, i); i += 1 }
+      return sig
+    }
+    var pos = 0
+    while (pos + ShingleLen <= bytes.length) {
+      val base = shingleHash(bytes, pos, ShingleLen)
+      var i = 0
+      while (i < k) {
+        val h = mix(base, i)
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+      pos += 1
+    }
+    sig
+  }
+
+  @inline private def mix(base: Long, i: Int): Long = {
+    var x = base ^ (0x9e3779b97f4a7c15L * (i + 1))
+    x ^= x >>> 33
+    x *= 0xff51afd7ed558ccdL
+    x ^= x >>> 33
+    x
+  }
+
+  /** 64-bit SimHash over whitespace tokens. */
+  def simHash(text: String): Long = {
+    val counts = new Array[Int](64)
+    var start = 0
+    val n = text.length
+    var i = 0
+    while (i <= n) {
+      if (i == n || text.charAt(i) == ' ') {
+        if (i > start) {
+          val h = Murmur3.hash64(text.substring(start, i).getBytes("UTF-8"))
+          var b = 0
+          while (b < 64) {
+            if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+            b += 1
+          }
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) out |= 1L << b; b += 1 }
+    out
+  }
+
+  def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /** Documents + planted near-duplicates (deterministic): every doc with
+    * doc_id % 5 == 0 and length(text) >= 200 gets a copy with id+100000 and
+    * a short appended suffix. Lets the dedup operators be oracle-checked:
+    * the found pair set must be exactly the planted set.
+    */
+  /** Exact-duplicate planting (same text, id+100000) — used by the simhash
+    * oracle: identical text ⇒ identical simhash ⇒ hamming 0, always found.
+    */
+  def withPlantedExactDups(docs: DataFrame): DataFrame = {
+    val planted = docs
+      .filter(col("text").isNotNull && col("doc_id") % 5 === 0)
+      .withColumn("doc_id", col("doc_id") + 100000L)
+    docs.unionByName(planted)
+  }
+
+  def withPlantedNearDups(docs: DataFrame): DataFrame = {
+    val planted = docs
+      .filter(col("text").isNotNull && length(col("text")) >= 200 && col("doc_id") % 5 === 0)
+      .withColumn("doc_id", col("doc_id") + 100000L)
+      .withColumn("text", concat(col("text"), lit(" near duplicate tail")))
+    docs.unionByName(planted)
+  }
+
+  /** MinHash + LSH near-duplicate pairs (doc_a < doc_b, est jaccard ≥ thr).
+    * Shape at scale: signature map (no shuffle) → band explode → shuffle on
+    * (band, bucket) → per-bucket pair generation → signature re-join for
+    * verification. Buckets are bounded by construction on real corpora;
+    * the bucket-size cap guards pathological buckets (all-identical spam).
+    */
+  def minHashPairs(spark: SparkSession, docs: DataFrame, threshold: Double = 0.7,
+      maxBucket: Int = 64): DataFrame = {
+    import spark.implicits._
+    val sigs: Dataset[(Long, Array[Long])] = docs
+      .filter(col("text").isNotNull)
+      .select("doc_id", "text").as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) => (id, minHashSignature(t)) })
+    sigs.cache()
+    val bands = sigs.flatMap { case (id, sig) =>
+      (0 until Bands).map { b =>
+        var h = 0x9e3779b97f4a7c15L * (b + 1)
+        var r = 0
+        while (r < RowsPerBand) { h = h * 31 + sig(b * RowsPerBand + r); r += 1 }
+        (b, h, id)
+      }
+    }.toDF("band", "bucket", "doc_id")
+    val candidates = bands
+      .groupBy("band", "bucket")
+      .agg(collect_list("doc_id").as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+      .select(explode(expr(
+        "filter(transform(flatten(transform(ids, a -> transform(ids, b -> struct(a, b)))), " +
+          "p -> struct(least(p.a, p.b) AS a, greatest(p.a, p.b) AS b)), p -> p.a < p.b)")).as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .distinct()
+    val sigDf = sigs.toDF("doc_id", "sig")
+    val verified = candidates
+      .join(sigDf.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sig", "sig_a"), "doc_a")
+      .join(sigDf.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sig", "sig_b"), "doc_b")
+      .withColumn("est_jaccard",
+        expr(s"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), m -> m)) / cast($MinHashK AS double)"))
+      .filter(col("est_jaccard") >= threshold)
+      .select("doc_a", "doc_b")
+    verified
+  }
+
+  /** SimHash near-dup pairs within a hamming radius, via 4×16-bit band keys
+    * (exact for radius ≤ 3 by pigeonhole).
+    */
+  def simHashPairs(spark: SparkSession, docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    import spark.implicits._
+    val hashes = docs.filter(col("text").isNotNull)
+      .select("doc_id", "text").as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) => (id, simHash(t)) })
+      .toDF("doc_id", "sh")
+    hashes.cache()
+    val bands = hashes.select(col("doc_id"), col("sh"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"), shiftrightunsigned(col("sh"), b * 16)
+          .bitwiseAND(lit(0xffffL)).as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("sh"), col("bk.band"), col("bk.key"))
+    val a = bands.select(col("band"), col("key"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = bands.select(col("band"), col("key"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("bit_count(sh_a ^ sh_b)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Brute-force cosine top-k over an embedding column for a small broadcast
+    * query set — the exactness baseline; the LSH variant below is the scale
+    * path. Double math, rounded to 4 dp for cross-engine determinism.
+    */
+  def cosineTopK(spark: SparkSession, emb: DataFrame, nQueries: Int = 5, k: Int = 5): DataFrame = {
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val dot = "aggregate(zip_with(embedding, qe, (x, y) -> cast(x AS double) * cast(y AS double)), 0D, (a, v) -> a + v)"
+    val n1 = "sqrt(aggregate(embedding, 0D, (a, v) -> a + cast(v AS double) * cast(v AS double)))"
+    val n2 = "sqrt(aggregate(qe, 0D, (a, v) -> a + cast(v AS double) * cast(v AS double)))"
+    val sims = emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("sim", round(expr(s"$dot / ($n1 * $n2)"), 4))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
+    sims.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("qid", "vec_id", "sim")
+      .orderBy("qid", "vec_id")
+  }
+
+  /** Random-hyperplane LSH buckets (16 planes ⇒ 16-bit key): candidates
+    * share a bucket; at 100 TB this replaces the crossJoin with a shuffle
+    * on the bucket key. Returns (qid, vec_id) candidate pairs' recall stats
+    * against the brute-force top-k (self-evaluating operator).
+    */
+  def lshCosineRecall(spark: SparkSession, emb: DataFrame, planes: Int = 8,
+      tables: Int = 4, nQueries: Int = 5, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    val dim = emb.select(size(col("embedding"))).first().getInt(0)
+    val rnd = new scala.util.Random(4242)
+    // multi-table LSH: union of candidates over independent hyperplane sets
+    val hyper = Array.fill(tables, planes, dim)(rnd.nextGaussian())
+    val hyperB = spark.sparkContext.broadcast(hyper)
+    val keyed = emb.select("vec_id", "embedding").as[(Long, Seq[Float])]
+      .mapPartitions { it =>
+        val hs = hyperB.value
+        it.flatMap { case (id, v) =>
+          hs.indices.map { t =>
+            val h = hs(t)
+            var key = 0
+            var p = 0
+            while (p < h.length) {
+              var dot = 0.0
+              var i = 0
+              while (i < v.length) { dot += h(p)(i) * v(i); i += 1 }
+              if (dot >= 0) key |= 1 << p
+              p += 1
+            }
+            (id, t, key)
+          }
+        }
+      }.toDF("vec_id", "table", "bucket")
+    val truth = cosineTopK(spark, emb, nQueries, k).select("qid", "vec_id")
+    val qBuckets = keyed.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("table"), col("bucket"))
+    val candidates = qBuckets.join(keyed, Seq("table", "bucket"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select("qid", "vec_id").distinct()
+    val recalled = truth.join(candidates, Seq("qid", "vec_id"), "left_semi")
+      .groupBy("qid").agg(count("*").as("recalled_of_5"))
+    // one row per query, zero-filled, so the operator's output is total
+    emb.filter(col("vec_id") < nQueries).select(col("vec_id").as("qid"))
+      .join(recalled, Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("recalled_of_5"), lit(0L)).as("recalled_of_5"))
+      .orderBy("qid")
+  }
+}
