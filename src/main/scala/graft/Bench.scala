@@ -58,7 +58,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val benchTurns = sys.env.getOrElse("SPARK_GRAFT_BENCH_TURNS", "1000000").toLong
+    val benchTurns = sys.env.getOrElse("SPARK_GRAFT_BENCH_TURNS", "2000000").toLong
     // N vs 4N parallelism. Default N=2: pure-CPU microbenchmarks (parallel
     // sha256) measure this host's own scaling ceiling at 0.93 for 2->8,
     // 0.82 for 4->16, 0.78 for 8->32 cores (frequency/membw effects), so

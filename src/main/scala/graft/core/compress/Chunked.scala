@@ -105,35 +105,36 @@ object Codec {
   }
 }
 
-/** JDK Deflater-based zlib, matching the reference's DeflateCompressor
-  * (level/strategy defaults, raw zlib stream).
+/** JDK Deflater-based zlib, matching the reference's DeflateCompressor —
+  * COMPRESSION_LEVEL = 4 (/root/reference/pkg/store/DeflateCompressor.go:11),
+  * raw deflate stream. Deflater/Inflater instances are reused across chunks
+  * (reset, not re-created) — Codec instances are per-call-site, not shared.
   */
 final class ZlibCodec extends Codec {
+  private val d = new Deflater(4, true)
+  private val inf = new Inflater(true)
+
   def maxCompressedLength(n: Int): Int = n + (n >> 3) + 512
   def compress(src: Array[Byte], off: Int, len: Int, dst: Array[Byte]): Int = {
-    val d = new Deflater(Deflater.DEFAULT_COMPRESSION, true)
-    try {
-      d.setInput(src, off, len)
-      d.finish()
-      var total = 0
-      while (!d.finished() && total < dst.length) {
-        total += d.deflate(dst, total, dst.length - total)
-      }
-      if (d.finished()) total else -1
-    } finally d.end()
+    d.reset()
+    d.setInput(src, off, len)
+    d.finish()
+    var total = 0
+    while (!d.finished() && total < dst.length) {
+      total += d.deflate(dst, total, dst.length - total)
+    }
+    if (d.finished()) total else -1
   }
   def decompress(src: Array[Byte], off: Int, len: Int, dst: Array[Byte]): Int = {
-    val inf = new Inflater(true)
-    try {
-      inf.setInput(src, off, len)
-      var total = 0
-      while (!inf.finished()) {
-        val n = inf.inflate(dst, total, dst.length - total)
-        if (n == 0 && inf.needsInput()) throw new java.io.EOFException("truncated zlib chunk")
-        total += n
-      }
-      total
-    } finally inf.end()
+    inf.reset()
+    inf.setInput(src, off, len)
+    var total = 0
+    while (!inf.finished()) {
+      val n = inf.inflate(dst, total, dst.length - total)
+      if (n == 0 && inf.needsInput()) throw new java.io.EOFException("truncated zlib chunk")
+      total += n
+    }
+    total
   }
 }
 

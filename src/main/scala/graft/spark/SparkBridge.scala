@@ -83,44 +83,80 @@ object SparkBridge {
     if (anyNull) v.nulls = nulls
     dt match {
       case BooleanType =>
-        v.longs = Array.tabulate(n)(j => if (!nulls(j) && get(j).asInstanceOf[Boolean]) 1L else 0L)
-      case ByteType =>
-        v.longs = Array.tabulate(n)(j => if (nulls(j)) 0L else get(j).asInstanceOf[Byte].toLong)
-      case ShortType =>
-        v.longs = Array.tabulate(n)(j => if (nulls(j)) 0L else get(j).asInstanceOf[Short].toLong)
-      case IntegerType =>
-        v.longs = Array.tabulate(n)(j => if (nulls(j)) 0L else get(j).asInstanceOf[Int].toLong)
-      case LongType =>
-        v.longs = Array.tabulate(n)(j => if (nulls(j)) 0L else get(j).asInstanceOf[Long])
-      case FloatType =>
-        v.doubles = Array.tabulate(n)(j => if (nulls(j)) 0.0 else get(j).asInstanceOf[Float].toDouble)
-      case DoubleType =>
-        v.doubles = Array.tabulate(n)(j => if (nulls(j)) 0.0 else get(j).asInstanceOf[Double])
+        val a = new Array[Long](n)
+        var j = 0
+        while (j < n) {
+          if (!nulls(j) && get(j).asInstanceOf[Boolean]) a(j) = 1L
+          j += 1
+        }
+        v.longs = a
+      case ByteType | ShortType | IntegerType | LongType =>
+        val a = new Array[Long](n)
+        var j = 0
+        while (j < n) {
+          if (!nulls(j)) a(j) = get(j) match {
+            case x: java.lang.Long => x.longValue()
+            case x: java.lang.Integer => x.longValue()
+            case x: java.lang.Short => x.longValue()
+            case x: java.lang.Byte => x.longValue()
+          }
+          j += 1
+        }
+        v.longs = a
+      case FloatType | DoubleType =>
+        val a = new Array[Double](n)
+        var j = 0
+        while (j < n) {
+          if (!nulls(j)) a(j) = get(j) match {
+            case x: java.lang.Double => x.doubleValue()
+            case x: java.lang.Float => x.doubleValue()
+          }
+          j += 1
+        }
+        v.doubles = a
       case StringType =>
-        v.bins = Array.tabulate(n)(j => if (nulls(j)) null else get(j).asInstanceOf[String].getBytes("UTF-8"))
+        val a = new Array[Array[Byte]](n)
+        var j = 0
+        while (j < n) {
+          if (!nulls(j)) a(j) = get(j).asInstanceOf[String].getBytes("UTF-8")
+          j += 1
+        }
+        v.bins = a
       case BinaryType =>
-        v.bins = Array.tabulate(n)(j => if (nulls(j)) null else get(j).asInstanceOf[Array[Byte]])
+        val a = new Array[Array[Byte]](n)
+        var j = 0
+        while (j < n) {
+          if (!nulls(j)) a(j) = get(j).asInstanceOf[Array[Byte]]
+          j += 1
+        }
+        v.bins = a
       case DateType =>
-        v.longs = Array.tabulate(n) { j =>
-          if (nulls(j)) 0L
-          else get(j) match {
+        val a = new Array[Long](n)
+        var j = 0
+        while (j < n) {
+          if (!nulls(j)) a(j) = get(j) match {
             case d: java.sql.Date => d.toLocalDate.toEpochDay
             case d: java.time.LocalDate => d.toEpochDay
           }
+          j += 1
         }
+        v.longs = a
       case TimestampType | TimestampNTZType =>
-        v.longs = Array.tabulate(n) { j =>
-          if (nulls(j)) 0L
-          else get(j) match {
+        val a = new Array[Long](n)
+        var j = 0
+        while (j < n) {
+          if (!nulls(j)) a(j) = get(j) match {
             case t: java.sql.Timestamp =>
               Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
             case t: java.time.Instant =>
-              Math.floorDiv(t.getEpochSecond, 1L) * 1000000L + t.getNano / 1000L
+              t.getEpochSecond * 1000000L + t.getNano / 1000L
             case t: java.time.LocalDateTime =>
               val inst = t.toInstant(java.time.ZoneOffset.UTC)
               inst.getEpochSecond * 1000000L + inst.getNano / 1000L
           }
+          j += 1
         }
+        v.longs = a
       case d: DecimalType =>
         if (d.precision <= 18)
           v.longs = Array.tabulate(n) { j =>
