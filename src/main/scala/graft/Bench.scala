@@ -28,7 +28,10 @@ object Bench {
     * measurements). A small untimed warmup encode runs first in the same
     * child so the timed section is steady-state.
     */
-  private def encodeRun(cpus: Int, turns: Long, outDir: String, parts: Int): (Double, Long, Long, Long) = {
+  final case class Trial(secs: Double, rows: Long, rawBytes: Long,
+      fileBytes: Long, calibMs: Long)
+
+  private def encodeRun(cpus: Int, turns: Long, outDir: String, parts: Int): Trial = {
     val javaBin = s"${System.getProperty("java.home")}/bin/java"
     val addOpens = Seq(
       "java.base/java.lang", "java.base/java.lang.invoke", "java.base/java.lang.reflect",
@@ -38,21 +41,30 @@ object Bench {
       "java.base/sun.nio.cs", "java.base/sun.security.action",
       "java.base/sun.util.calendar"
     ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-    val cmd = Seq(javaBin) ++ addOpens ++ Seq(
-      s"-Xmx${sys.env.getOrElse("SPARK_GRAFT_CHILD_MEM", "8g")}",
+    val extraOpts = sys.env.getOrElse("SPARK_GRAFT_CHILD_OPTS", "")
+      .split("\\s+").filter(_.nonEmpty).toSeq
+    val childMem = sys.env.getOrElse("SPARK_GRAFT_CHILD_MEM", "8g")
+    val cmd = Seq(javaBin) ++ addOpens ++ extraOpts ++ Seq(
+      // fixed pre-touched heap: heap-growth page faults otherwise land in
+      // the timed section and scale with thread count
+      s"-Xms$childMem", s"-Xmx$childMem", "-XX:+AlwaysPreTouch",
       "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
       "-Dspark.local.dir=/dev/shm/graft-spark",
       "-cp", System.getProperty("java.class.path"),
       "graft.BenchChild", cpus.toString, turns.toString, outDir, parts.toString)
     val pb = new ProcessBuilder(cmd: _*)
+    pb.environment().putAll(System.getenv())
     pb.redirectErrorStream(true)
     val proc = pb.start()
     val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
     proc.waitFor()
+    if (sys.env.contains("SPARK_GRAFT_STAGE_DEBUG"))
+      out.linesIterator.filter(_.startsWith("STAGE[")).foreach(l => println("  " + l))
     val m = java.util.regex.Pattern
-      .compile("BENCHCHILD (\\S+) (\\d+) (\\d+) (\\d+)").matcher(out)
+      .compile("BENCHCHILD (\\S+) (\\d+) (\\d+) (\\d+) (\\d+)").matcher(out)
     require(m.find(), s"child failed:\n${out.takeRight(3000)}")
-    (m.group(1).toDouble, m.group(2).toLong, m.group(3).toLong, m.group(4).toLong)
+    Trial(m.group(1).toDouble, m.group(2).toLong, m.group(3).toLong,
+      m.group(4).toLong, m.group(5).toLong)
   }
 
   def main(args: Array[String]): Unit = {
@@ -65,35 +77,97 @@ object Bench {
     // the engine is evidenced in the regime where hardware scales cleanly.
     val scaleN = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "2").toInt
 
-    // 1) driver-contract query timings
-    val spark = session(cpus)
-    spark.conf.set("spark.sql.shuffle.partitions", cpus.toString)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
-      catch {
-        case _: Throwable =>
-          try fn(spark, sfDir).count() catch { case _: Throwable => }
+    // 1) driver-contract query timings (skippable for scaling-only iteration)
+    val results = if (sys.env.contains("SPARK_GRAFT_SCALING_ONLY")) Nil else {
+      val spark = session(cpus)
+      spark.conf.set("spark.sql.shuffle.partitions", cpus.toString)
+      val r = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
+        catch {
+          case _: Throwable =>
+            try fn(spark, sfDir).count() catch { case _: Throwable => }
+        }
+        name -> (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      spark.stop()
+      r
     }
-    spark.stop()
 
     // 2) scaling evidence: N=8 vs 4N=32 cores, identical input
     val tmp = Files.createTempDirectory(Paths.get("/dev/shm"), "graft-bench").toString
-    // identical, data-sized partitioning for both runs (~55MB raw each);
-    // only the executor-thread count differs between N and 4N
-    val parts = math.max(scaleN * 8, (benchTurns * 760L / (64L << 20)).toInt)
-    // interleaved best-of-2 per level: the sandbox host is a noisy neighbor
-    // (pure-CPU microbenchmark wall drifts ±40% between runs), so take the
-    // minimum of alternating trials to compare like with like
-    val trials = (1 to 2).flatMap { i =>
-      Seq(
-        Left(encodeRun(scaleN, benchTurns, s"$tmp/pN$i", parts)),
-        Right(encodeRun(scaleN * 4, benchTurns, s"$tmp/p4N$i", parts)))
+    // identical, data-sized partitioning for both runs (~55MB raw each),
+    // rounded UP to a multiple of the 4N thread count so the last task wave
+    // is full at both levels; only the executor-thread count differs
+    val rawParts = math.max(scaleN * 8, (benchTurns * 760L / (64L << 20)).toInt)
+    val parts = ((rawParts + scaleN * 4 - 1) / (scaleN * 4)) * (scaleN * 4)
+    // Interleaved trials, minimum per level, QUIET-GATED: the sandbox host
+    // is a noisy neighbor (hypervisor co-tenant, invisible from inside; a
+    // fixed single-thread CPU workload drifts ±40% and worse — storms can
+    // span several consecutive trials, so "minimum stopped improving" alone
+    // is not evidence of a quiet measurement). Each child times a fixed
+    // calibration workload before warmup and after the timed encode; a
+    // trial is QUIET iff its calibration is within 25% of the best
+    // calibration seen across the whole session. The reported wall per
+    // level is the minimum over quiet trials; pairs keep running until both
+    // levels have a stable quiet minimum (or maxTrials).
+    val maxTrials = sys.env.getOrElse("SPARK_GRAFT_TRIALS", "8").toInt
+    var trialsN = List.empty[Trial]
+    var trials4N = List.empty[Trial]
+    def quiet(ts: List[Trial]): List[Trial] = {
+      val calibs = (trialsN ++ trials4N).map(_.calibMs)
+      if (calibs.isEmpty) Nil
+      else ts.filter(_.calibMs <= calibs.min * 1.25)
     }
-    val (t8, rows8, raw8, bytes8) = trials.collect { case Left(r) => r }.minBy(_._1)
-    val (t32, rows32, _, _) = trials.collect { case Right(r) => r }.minBy(_._1)
+    // Between pairs, poll the same membw probe in-process and hold off
+    // while the host is loud (bounded patience — a fully stormy session
+    // still completes and reports its noise context).
+    var rollingMin = Long.MaxValue
+    def waitForQuiet(): Unit = {
+      var polls = 0
+      var c = BenchChild.calibrate()
+      rollingMin = math.min(rollingMin, c)
+      while (c > rollingMin * 1.2 && polls < 10) {
+        Thread.sleep(20000)
+        c = BenchChild.calibrate()
+        rollingMin = math.min(rollingMin, c)
+        polls += 1
+      }
+    }
+    var i = 0
+    var continue = true
+    while (continue && i < maxTrials) {
+      i += 1
+      waitForQuiet()
+      val a = encodeRun(scaleN, benchTurns, s"$tmp/pN$i", parts)
+      val b = encodeRun(scaleN * 4, benchTurns, s"$tmp/p4N$i", parts)
+      val prevQN = quiet(trialsN).map(_.secs).minOption
+      val prevQ4N = quiet(trials4N).map(_.secs).minOption
+      trialsN ::= a
+      trials4N ::= b
+      val qN = quiet(trialsN).map(_.secs).minOption
+      val q4N = quiet(trials4N).map(_.secs).minOption
+      println(f"  trial $i: tN=${a.secs}%.2f (calib ${a.calibMs}ms) " +
+        f"t4N=${b.secs}%.2f (calib ${b.calibMs}ms) " +
+        s"quietMinN=${qN.fold("-")(v => f"$v%.2f")} quietMin4N=${q4N.fold("-")(v => f"$v%.2f")}")
+      val stable = (prevQN, qN, prevQ4N, q4N) match {
+        case (Some(p1), Some(c1), Some(p2), Some(c2)) =>
+          c1 >= p1 * 0.98 && c2 >= p2 * 0.98
+        case _ => false
+      }
+      continue = i < 2 || !stable
+    }
+    // fall back to all trials only if a level never saw a quiet window
+    def pick(ts: List[Trial]): Trial = {
+      val q = quiet(ts)
+      (if (q.nonEmpty) q else ts).minBy(_.secs)
+    }
+    val Trial(t8, rows8, raw8, bytes8, _) = pick(trialsN)
+    val Trial(t32, rows32, _, _, _) = pick(trials4N)
+    val calibSpread = {
+      val all = (trialsN ++ trials4N).map(_.calibMs)
+      f"${all.min}ms..${all.max}ms over ${all.size} trials"
+    }
     val r8 = rows8 / t8
     val r32 = rows32 / t32
     val eff = r32 / (4.0 * r8)
@@ -104,7 +178,8 @@ object Bench {
     val json =
       f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"sf":"$sfDir","""+
       f""""encode":{"turns":$benchTurns,"coresN":$scaleN,"tN":$t8%.2f,"t4N":$t32%.2f,"turnsPerSecN":$r8%.0f,"""+
-      f""""turnsPerSec4N":$r32%.0f,"scalingEfficiency":$eff%.3f,"compressionRatio":$ratio%.2f}}"""
+      f""""turnsPerSec4N":$r32%.0f,"scalingEfficiency":$eff%.3f,"compressionRatio":$ratio%.2f,"""+
+      s""""hostCalibSpread":"$calibSpread"}}"""
     println(json)
 
     Files.createDirectories(Paths.get("BENCH"))
@@ -113,11 +188,17 @@ object Bench {
          |
          |Generated transcripts (FIXTURES.md F1, seed 42), ZLIB, writer defaults.
          |Scaling criterion evidenced at two parallelism levels per BASELINE.md
-         |(no real cluster in this sandbox): same input, local[$scaleN] vs
-         |local[${scaleN * 4}], each in its own child JVM (= separate
-         |spark-submit). Host ceiling (parallel sha256 microbenchmark):
-         |2->8 cores 0.93, 4->16 cores 0.82, 8->32 cores 0.78 — the engine is
-         |measured in the 2->8 regime where the hardware itself scales.
+         |(no real cluster in this sandbox): same input, identical partitioning,
+         |local[$scaleN] vs local[${scaleN * 4}], each in its own child JVM
+         |(= separate spark-submit). The host is a noisy neighbor (a fixed
+         |single-thread CPU calibration workload drifts ±40%%+ between runs:
+         |this session $calibSpread), so trials alternate N/4N, a trial
+         |counts as QUIET only if its calibration is within 25%% of the
+         |session best, and each level reports its minimum wall over quiet
+         |trials (adaptive stop once both quiet minima are stable). Host
+         |ceiling (parallel sha256): 2->8 cores 0.93, 4->16 cores 0.82,
+         |8->32 cores 0.78 — the engine is measured in the 2->8 regime where
+         |the hardware itself scales.
          |
          || metric | value |
          ||---|---|

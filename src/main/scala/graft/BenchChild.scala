@@ -3,37 +3,97 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Child-JVM benchmark worker: warmup encode, then the timed encode.
-  * Prints `BENCHCHILD <secs> <rows> <rawBytes> <fileBytes>`.
+  * Prints `BENCHCHILD <secs> <rows> <rawBytes> <fileBytes> <calibMs>`.
+  * calibMs is a fixed single-thread pure-CPU workload timed before the
+  * warmup and after the timed encode (max of the two): an absolute
+  * quiet-host reference that lets the parent REJECT trials that ran while
+  * the hypervisor co-tenant was loud — wall times alone can't tell a slow
+  * engine from a slow host.
   */
 object BenchChild {
+  /** Memory-BANDWIDTH-sensitive probe: stream-sum a 64MB array 20×
+    * (~1.3GB of traffic, ~100-250ms). The co-tenant noise on this host is
+    * mostly membw contention — a latency-bound ALU loop stays flat through
+    * storms that double encode walls, so the probe must be memory-bound.
+    * Min of 2 runs (first run also warms the buffer).
+    */
+  private var calibBuf: Array[Long] = null
+  def calibrate(): Long = {
+    val n = 8 << 20
+    if (calibBuf == null) {
+      calibBuf = new Array[Long](n)
+      var i = 0
+      while (i < n) { calibBuf(i) = i * 0x9e3779b97f4a7c15L; i += 1 }
+    }
+    var best = Long.MaxValue
+    var r = 0
+    while (r < 2) {
+      val t0 = System.nanoTime()
+      var s = 0L
+      var p = 0
+      while (p < 20) {
+        var i = 0
+        while (i < n) { s += calibBuf(i); i += 1 }
+        p += 1
+      }
+      if (s == 42L) println("") // keep the loop live
+      best = math.min(best, (System.nanoTime() - t0) / 1000000L)
+      r += 1
+    }
+    best
+  }
   def main(args: Array[String]): Unit = {
     val Array(cpusS, turnsS, outDir, partsS) = args
     val cpus = cpusS.toInt
     val turns = turnsS.toLong
     val parts = partsS.toInt
+    val mode = sys.env.getOrElse("SPARK_GRAFT_MODE", "range")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(s"graft-bench-child-$cpus")
       .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.io.compression.codec",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_CODEC", "lz4"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    if (sys.env.contains("SPARK_GRAFT_STAGE_DEBUG"))
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val m = sc.stageInfo.taskMetrics
+          val wall = sc.stageInfo.completionTime.getOrElse(0L) -
+            sc.stageInfo.submissionTime.getOrElse(0L)
+          println(f"STAGE[$cpus] ${sc.stageInfo.stageId}%3d tasks=${sc.stageInfo.numTasks}%3d " +
+            f"wall=${wall / 1000.0}%6.2fs cpu=${m.executorCpuTime / 1e9}%6.1fs " +
+            f"run=${m.executorRunTime / 1000.0}%6.1fs gc=${m.jvmGCTime / 1000.0}%5.1fs " +
+            f"shufWrite=${m.shuffleWriteMetrics.writeTime / 1e9}%.1fs " +
+            f"fetchWait=${m.shuffleReadMetrics.fetchWaitTime / 1000.0}%.1fs")
+        }
+      })
     try {
+      val calib1 = calibrate()
+      // warmup sized so every task thread runs enough encode iterations for
+      // C2 compilation before the timed section (at 4N threads a tenth of
+      // the input spreads too thin)
       graft.spark.EncodeJob.run(spark, Map(
-        "out" -> s"$outDir-warmup", "turns" -> math.max(turns / 10, 50000L).toString,
-        "partitions" -> parts.toString, "codec" -> "zlib", "seed" -> "7"))
+        "out" -> s"$outDir-warmup", "turns" -> math.max(turns / 5, 100000L).toString,
+        "partitions" -> parts.toString, "codec" -> "zlib", "seed" -> "7",
+        "partitioning" -> mode))
       System.gc()
       val t0 = System.nanoTime()
       val summary = graft.spark.EncodeJob.run(spark, Map(
         "out" -> outDir, "turns" -> turns.toString,
-        "partitions" -> parts.toString, "codec" -> "zlib"))
+        "partitions" -> parts.toString, "codec" -> "zlib",
+        "partitioning" -> mode))
       val secs = (System.nanoTime() - t0) / 1e9
+      val calib = math.max(calib1, calibrate())
       def grab(k: String): Long = {
         val m = java.util.regex.Pattern.compile("\"" + k + "\":(\\d+)").matcher(summary)
         if (m.find()) m.group(1).toLong else 0L
       }
-      println(f"BENCHCHILD $secs%.3f ${grab("rows")} ${grab("rawBytes")} ${grab("fileBytes")}")
+      println(f"BENCHCHILD $secs%.3f ${grab("rows")} ${grab("rawBytes")} ${grab("fileBytes")} $calib")
     } finally spark.stop()
   }
 }

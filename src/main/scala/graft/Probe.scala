@@ -8,40 +8,93 @@ object Probe {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("readfiles")) { readFilesProbe(args(1)); return }
     val cpus = args.headOption.getOrElse("8").toInt
-    val turns = 500000L
+    val turns = args.lift(1).map(_.toLong).getOrElse(500000L)
+    // identical partitioning at every parallelism level (as in Bench)
+    val parts = args.lift(2).map(_.toInt).getOrElse(24)
     val spark = SparkSession.builder().master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus * 2)
+      .config("spark.sql.shuffle.partitions", parts)
       .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", "/dev/shm/graft-probe")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val m = sc.stageInfo.taskMetrics
+        val wall = sc.stageInfo.completionTime.getOrElse(0L) -
+          sc.stageInfo.submissionTime.getOrElse(0L)
+        println(f"    stage ${sc.stageInfo.stageId}%3d ${sc.stageInfo.name.takeWhile(_ != ' ')}%-18s " +
+          f"wall=${wall / 1000.0}%6.1fs cpu=${m.executorCpuTime / 1e9}%6.1fs " +
+          f"run=${m.executorRunTime / 1000.0}%6.1fs gc=${m.jvmGCTime / 1000.0}%5.1fs " +
+          f"spillMem=${m.memoryBytesSpilled >> 20}%dMB spillDisk=${m.diskBytesSpilled >> 20}%dMB " +
+          f"fetchWait=${m.shuffleReadMetrics.fetchWaitTime / 1000.0}%.1fs " +
+          f"shufWrite=${m.shuffleWriteMetrics.writeTime / 1e9}%.1fs " +
+          f"deserial=${m.executorDeserializeTime / 1000.0}%.1fs resultSer=${m.resultSerializationTime / 1000.0}%.1fs")
+      }
+    })
+    def gcMillis: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+        .map(_.getCollectionTime).sum
+    }
     def time[A](name: String)(f: => A): A = {
+      val g0 = gcMillis
       val t0 = System.nanoTime()
       val r = f
-      println(f"[$cpus cores] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[$cpus cores] $name: $secs%.2f s (gc ${(gcMillis - g0) / 1000.0}%.1f s)")
       r
     }
-    val df = graft.spark.TranscriptGen.transcripts(spark, turns, partitions = cpus * 2)
+    val df = graft.spark.TranscriptGen.transcripts(spark, turns, partitions = parts)
+    time("gen+count warmup")(df.count())
     time("gen+count")(df.count())
-    time("gen+count again")(df.count())
     val salted = graft.spark.TranscriptGen.withSalt(df)
     val shuffled = salted
-      .repartitionByRange(cpus * 2, col("conv_id"), col("salt"), col("turn_idx"))
+      .repartitionByRange(parts, col("conv_id"), col("salt"), col("turn_idx"))
       .sortWithinPartitions(col("conv_id"), col("turn_idx")).drop("salt")
     time("gen+shuffle+sort+count")(shuffled.count())
-    val tmp = java.nio.file.Files.createTempDirectory("probe").toString
+    // decomposition: shuffle+sort+row-conversion only (drain, no encode)
+    locally {
+      import org.apache.spark.sql.Encoders
+      val sch = shuffled.schema
+      time("shuffled drain, no encode") {
+        shuffled.mapPartitions { rows =>
+          var n = 0L; var h = 0L
+          while (rows.hasNext) { val r = rows.next(); if (r != null) h += 1; n += 1 }
+          Iterator.single(n + (h & 0))
+        }(Encoders.scalaLong).collect()
+      }
+      // encode CPU without file IO
+      time("shuffled encode -> null sink") {
+        shuffled.mapPartitions { rows =>
+          val res = graft.spark.MothSpark.encodeRows(sch, rows,
+            java.io.OutputStream.nullOutputStream(),
+            graft.core.compress.CompressionKind.ZLIB,
+            graft.core.columns.WriterOpts())
+          Iterator.single(res.rows)
+        }(Encoders.scalaLong).collect()
+      }
+    }
+    val tmp = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/dev/shm"), "probe").toString
     time("full encode job") {
       graft.spark.MothSpark.writeFiles(shuffled, tmp, "probe",
         graft.core.compress.CompressionKind.ZLIB,
         graft.core.columns.WriterOpts(), Seq("conv_id", "turn_idx"))
     }
     // encode without shuffle (straight from generator partitions)
-    val tmp2 = java.nio.file.Files.createTempDirectory("probe2").toString
+    val tmp2 = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/dev/shm"), "probe2").toString
     time("encode, no shuffle") {
       graft.spark.MothSpark.writeFiles(df, tmp2, "probe2",
         graft.core.compress.CompressionKind.ZLIB,
         graft.core.columns.WriterOpts(), Nil)
     }
+    def rm(p: java.io.File): Unit = {
+      if (p.isDirectory) p.listFiles().foreach(rm); p.delete()
+    }
+    rm(new java.io.File(tmp)); rm(new java.io.File(tmp2))
     spark.stop()
   }
 

@@ -31,6 +31,53 @@ object MothSpark {
     w.close()
   }
 
+  /** Tungsten-native encode: consumes (reused) InternalRows straight into
+    * columnar batches — the hot path for writeFiles/roundtrip. `onVec` sees
+    * every built batch (used for zero-overhead first/last key tracking).
+    */
+  def encodeInternalRows(schema: StructType,
+      rows: Iterator[org.apache.spark.sql.catalyst.InternalRow],
+      out: java.io.OutputStream, compression: CompressionKind.Value,
+      opts: WriterOpts, onVec: ColVecCallback = null): FileWriteResult = {
+    val moth = toMothStruct(schema)
+    val w = new MothFileWriter(out, moth, compression, opts)
+    val b = new InternalBridge.VecBuilder(schema, BatchSize)
+    while (rows.hasNext) {
+      b.add(rows.next())
+      if (b.count == BatchSize) {
+        val v = b.build()
+        if (onVec != null) onVec(v)
+        w.write(v)
+      }
+    }
+    if (b.count > 0) {
+      val v = b.build()
+      if (onVec != null) onVec(v)
+      w.write(v)
+    }
+    w.close()
+  }
+
+  type ColVecCallback = graft.core.columns.ColVec => Unit
+
+  /** Render key columns of one batch row as the manifest's "a|b" string. */
+  private def keyOf(keyIdx: Array[Int], v: graft.core.columns.ColVec, row: Int): String = {
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < keyIdx.length) {
+      if (i > 0) sb.append('|')
+      val c = v.children(keyIdx(i))
+      if (c.isNull(row)) sb.append("null")
+      else if (c.bins != null)
+        sb.append(new String(c.bins(row), java.nio.charset.StandardCharsets.UTF_8))
+      else if (c.longs != null) sb.append(c.longs(row))
+      else if (c.doubles != null) sb.append(c.doubles(row))
+      else sb.append('?')
+      i += 1
+    }
+    sb.toString
+  }
+
   /** Decode a MOTH byte source to rows. */
   def decodeRows(bytes: Array[Byte]): Iterator[Row] = {
     val rd = MothFileReader.fromBytes(bytes)
@@ -46,14 +93,15 @@ object MothSpark {
       compression: CompressionKind.Value = CompressionKind.ZLIB,
       opts: WriterOpts = WriterOpts()): DataFrame = {
     val schema = df.schema
-    df.mapPartitions { rows =>
+    val rdd = df.queryExecution.toRdd.mapPartitions { rows =>
       if (rows.isEmpty) Iterator.empty
       else {
         val bos = new ByteArrayOutputStream()
-        encodeRows(schema, rows, bos, compression, opts)
+        encodeInternalRows(schema, rows, bos, compression, opts)
         decodeRows(bos.toByteArray)
       }
-    }(Encoders.row(schema))
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
   }
 
   /** Writes one MOTH file per partition + a manifest JSON carrying lineage
@@ -68,8 +116,8 @@ object MothSpark {
       firstKeyCols: Seq[String] = Nil): Seq[Manifest] = {
     new File(outDir).mkdirs()
     val schema = df.schema
-    val keyIdx = firstKeyCols.map(schema.fieldIndex)
-    val counts = df.mapPartitions { rows =>
+    val keyIdx = firstKeyCols.map(schema.fieldIndex).toArray
+    val counts = df.queryExecution.toRdd.mapPartitions { rows =>
       val pid = TaskContext.getPartitionId()
       val mPath = Manifest.path(outDir, pid)
       val existing = Manifest.readIfValid(mPath, snapshotId)
@@ -79,7 +127,7 @@ object MothSpark {
         var n = 0L
         while (rows.hasNext) { rows.next(); n += 1 }
         Iterator.single(pid.toLong)
-      } else if (rows.isEmpty) {
+      } else if (!rows.hasNext) {
         Manifest(pid, snapshotId, 0, 0, 0, null, Nil, None, None).write(mPath)
         Iterator.single(pid.toLong)
       } else {
@@ -88,13 +136,14 @@ object MothSpark {
         val fos = new java.io.BufferedOutputStream(new FileOutputStream(tmp), 1 << 16)
         var firstKey: Option[String] = None
         var lastKey: Option[String] = None
-        val tracked = if (keyIdx.isEmpty) rows else rows.map { r =>
-          val k = keyIdx.map(i => String.valueOf(r.get(i))).mkString("|")
-          if (firstKey.isEmpty) firstKey = Some(k)
-          lastKey = Some(k)
-          r
+        // key bounds read from built batches — zero per-row overhead
+        val onVec: ColVecCallback = if (keyIdx.isEmpty) null else { v =>
+          if (v.len > 0) {
+            if (firstKey.isEmpty) firstKey = Some(keyOf(keyIdx, v, 0))
+            lastKey = Some(keyOf(keyIdx, v, v.len - 1))
+          }
         }
-        val res = encodeRows(schema, tracked, fos, compression, opts)
+        val res = encodeInternalRows(schema, rows, fos, compression, opts, onVec)
         fos.close()
         val dst = new File(outDir, file)
         if (!tmp.renameTo(dst)) throw new java.io.IOException(s"rename $tmp failed")
@@ -102,7 +151,7 @@ object MothSpark {
           file, res.stripes, firstKey, lastKey).write(mPath)
         Iterator.single(pid.toLong)
       }
-    }(Encoders.scalaLong).collect()
+    }.collect()
     counts.sorted.toSeq.map(pid => Manifest.read(Manifest.path(outDir, pid.toInt)))
   }
 
