@@ -56,15 +56,30 @@ object Bench {
     pb.environment().putAll(System.getenv())
     pb.redirectErrorStream(true)
     val proc = pb.start()
+    // Concurrent noise sampling: while the child runs, the (otherwise idle)
+    // parent times the membw probe every ~4s; the WORST concurrent reading
+    // marks the trial. A probe only before/after the child misses storms
+    // that start mid-run.
+    @volatile var worstCalib = 0L
+    val sampler = new Thread(() => {
+      try while (proc.isAlive) {
+        val c = BenchChild.calibrate()
+        worstCalib = math.max(worstCalib, c)
+        Thread.sleep(4000)
+      } catch { case _: InterruptedException => }
+    })
+    sampler.setDaemon(true)
+    sampler.start()
     val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
     proc.waitFor()
+    sampler.interrupt()
     if (sys.env.contains("SPARK_GRAFT_STAGE_DEBUG"))
       out.linesIterator.filter(_.startsWith("STAGE[")).foreach(l => println("  " + l))
     val m = java.util.regex.Pattern
       .compile("BENCHCHILD (\\S+) (\\d+) (\\d+) (\\d+) (\\d+)").matcher(out)
     require(m.find(), s"child failed:\n${out.takeRight(3000)}")
     Trial(m.group(1).toDouble, m.group(2).toLong, m.group(3).toLong,
-      m.group(4).toLong, m.group(5).toLong)
+      m.group(4).toLong, math.max(m.group(5).toLong, worstCalib))
   }
 
   def main(args: Array[String]): Unit = {
@@ -111,13 +126,19 @@ object Bench {
     // calibration seen across the whole session. The reported wall per
     // level is the minimum over quiet trials; pairs keep running until both
     // levels have a stable quiet minimum (or maxTrials).
-    val maxTrials = sys.env.getOrElse("SPARK_GRAFT_TRIALS", "8").toInt
+    val maxTrials = sys.env.getOrElse("SPARK_GRAFT_TRIALS", "10").toInt
     var trialsN = List.empty[Trial]
     var trials4N = List.empty[Trial]
+    // Per-level gating: an encoding child loads membw itself (more at 4N),
+    // so a trial's concurrent probe reading is only comparable to other
+    // trials OF THE SAME LEVEL — the engine's self-interference is constant
+    // within a level, the co-tenant storm is the variable.
     def quiet(ts: List[Trial]): List[Trial] = {
-      val calibs = (trialsN ++ trials4N).map(_.calibMs)
-      if (calibs.isEmpty) Nil
-      else ts.filter(_.calibMs <= calibs.min * 1.25)
+      if (ts.isEmpty) Nil
+      else {
+        val best = ts.map(_.calibMs).min
+        ts.filter(_.calibMs <= best * 1.25)
+      }
     }
     // Between pairs, poll the same membw probe in-process and hold off
     // while the host is loud (bounded patience — a fully stormy session
@@ -134,15 +155,25 @@ object Bench {
         polls += 1
       }
     }
+    // Budget-based looping: noise only ever ADDS time, so min-over-trials
+    // is a consistent estimator of the quiet-host wall — the more windows
+    // sampled, the better. Run pairs until the time budget is spent or both
+    // levels have CONVERGED (≥2 quiet trials within 3% of that level's
+    // minimum — i.e. the minimum was reproduced, not a fluke).
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "720").toInt
+    val tStart = System.nanoTime()
+    def elapsed: Double = (System.nanoTime() - tStart) / 1e9
+    def converged(ts: List[Trial]): Boolean = {
+      val q = quiet(ts).map(_.secs)
+      q.nonEmpty && q.count(_ <= q.min * 1.03) >= 2
+    }
     var i = 0
-    var continue = true
-    while (continue && i < maxTrials) {
+    while (i < maxTrials && (i < 2 ||
+        (elapsed < budgetSec && !(converged(trialsN) && converged(trials4N))))) {
       i += 1
       waitForQuiet()
       val a = encodeRun(scaleN, benchTurns, s"$tmp/pN$i", parts)
       val b = encodeRun(scaleN * 4, benchTurns, s"$tmp/p4N$i", parts)
-      val prevQN = quiet(trialsN).map(_.secs).minOption
-      val prevQ4N = quiet(trials4N).map(_.secs).minOption
       trialsN ::= a
       trials4N ::= b
       val qN = quiet(trialsN).map(_.secs).minOption
@@ -150,12 +181,6 @@ object Bench {
       println(f"  trial $i: tN=${a.secs}%.2f (calib ${a.calibMs}ms) " +
         f"t4N=${b.secs}%.2f (calib ${b.calibMs}ms) " +
         s"quietMinN=${qN.fold("-")(v => f"$v%.2f")} quietMin4N=${q4N.fold("-")(v => f"$v%.2f")}")
-      val stable = (prevQN, qN, prevQ4N, q4N) match {
-        case (Some(p1), Some(c1), Some(p2), Some(c2)) =>
-          c1 >= p1 * 0.98 && c2 >= p2 * 0.98
-        case _ => false
-      }
-      continue = i < 2 || !stable
     }
     // fall back to all trials only if a level never saw a quiet window
     def pick(ts: List[Trial]): Trial = {

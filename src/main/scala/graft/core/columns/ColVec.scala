@@ -23,7 +23,19 @@ final class ColVec(var len: Int) {
   var lengths: Array[Int] = null
   var children: Array[ColVec] = null
 
+  /** Packed alternative to `bins` for STRING/BINARY (the encode hot path):
+    * one shared payload buffer + len+1 cumulative offsets — no per-value
+    * array. Writers must accept either form. Arrays may be OVERSIZED
+    * (capacity > len) and REUSED by the producer across batches: a vec is
+    * only valid during the `write(v)` call that consumes it; anything kept
+    * longer (dictionary entries, stats min/max) must copy.
+    */
+  var packed: Array[Byte] = null
+  var offs: Array[Int] = null
+
   @inline def isNull(i: Int): Boolean = nulls != null && nulls(i)
+  @inline def binOff(i: Int): Int = offs(i)
+  @inline def binLen(i: Int): Int = offs(i + 1) - offs(i)
 }
 
 /** MOTH logical types (kind ids per the proto Type.Kind enum,

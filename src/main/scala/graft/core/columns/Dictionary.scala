@@ -20,22 +20,38 @@ final class DictionaryBuilder(initialCapacity: Int = 1024) {
   def entry(code1based: Int): Array[Byte] = entries(code1based - 1)
 
   /** @return 1-based code (0 is the null sentinel, never returned here). */
-  def putIfAbsent(b: Array[Byte]): Int = {
+  def putIfAbsent(b: Array[Byte]): Int = putIfAbsent(b, 0, b.length)
+
+  /** Slice form for packed vecs: the backing buffer is caller-reused, so a
+    * NEW entry copies its bytes; a hit allocates nothing (the common case —
+    * by definition of a dictionary-friendly column).
+    */
+  def putIfAbsent(b: Array[Byte], off: Int, len: Int): Int = {
     val mask = table.length - 1
-    var pos = (Murmur3.hash64(b) & 0x7fffffffffffffffL).toInt & mask
+    var pos = (Murmur3.hash64(b, off, len) & 0x7fffffffffffffffL).toInt & mask
     while (true) {
       val e = table(pos)
       if (e < 0) {
-        entries += b
-        _totalBytes += b.length
+        entries += java.util.Arrays.copyOfRange(b, off, off + len)
+        _totalBytes += len
         table(pos) = entries.length // 1-based
         if (entries.length * 4 >= table.length * 3) grow()
         return entries.length
       }
-      if (java.util.Arrays.equals(entries(e - 1), b)) return e
+      if (equalsSlice(entries(e - 1), b, off, len)) return e
       pos = (pos + 1) & mask
     }
     0 // unreachable
+  }
+
+  private def equalsSlice(a: Array[Byte], b: Array[Byte], off: Int, len: Int): Boolean = {
+    if (a.length != len) return false
+    var i = 0
+    while (i < len) {
+      if (a(i) != b(off + i)) return false
+      i += 1
+    }
+    true
   }
 
   private def grow(): Unit = {
@@ -89,13 +105,13 @@ final class FsstStringColumnWriter(id: Int, table: FsstTable, statsLimit: Int)
   private var rawBytesTotal = 0L
   def rawBytes: Long = rawBytesTotal
 
-  override def writeValue(b: Array[Byte]): Unit = {
+  override def writeValue(b: Array[Byte], off: Int, len: Int): Unit = {
     val before = data.size
-    table.encode(b, data) // in-place into the DATA buffer: no per-value alloc
+    table.encode(b, off, len, data) // in-place into DATA: no per-value alloc
     lengths.writeLong((data.size - before).toLong)
-    rawBytesTotal += b.length
-    statsBuilder match { case s: StringStatsBuilder => s.add(b); case _ => }
-    if (bloom != null) bloom.addBytes(b)
+    rawBytesTotal += len
+    statsBuilder match { case s: StringStatsBuilder => s.add(b, off, len); case _ => }
+    if (bloom != null) bloom.addBytes(b, off, len)
   }
 
   override protected def valueStreams: Seq[StreamData] =
@@ -152,18 +168,35 @@ final class StringDictionaryColumnWriter(val columnId: Int, opts: WriterOpts,
   def writeVec(v: ColVec): Unit = {
     if (direct != null) { direct.writeVec(v); return }
     var i = 0
-    while (i < v.len) {
-      valueCountTotal += 1
-      if (v.isNull(i)) { current.add(0); stats.recordNull() }
-      else {
-        val b = v.bins(i)
-        current.add(dict.putIfAbsent(b))
-        rawBytesTotal += b.length
-        nonNullCountTotal += 1
-        stats.add(b)
-        if (bloom != null) bloom.addBytes(b)
+    if (v.packed != null) {
+      while (i < v.len) {
+        valueCountTotal += 1
+        if (v.isNull(i)) { current.add(0); stats.recordNull() }
+        else {
+          val off = v.binOff(i)
+          val len = v.binLen(i)
+          current.add(dict.putIfAbsent(v.packed, off, len))
+          rawBytesTotal += len
+          nonNullCountTotal += 1
+          stats.add(v.packed, off, len)
+          if (bloom != null) bloom.addBytes(v.packed, off, len)
+        }
+        i += 1
       }
-      i += 1
+    } else {
+      while (i < v.len) {
+        valueCountTotal += 1
+        if (v.isNull(i)) { current.add(0); stats.recordNull() }
+        else {
+          val b = v.bins(i)
+          current.add(dict.putIfAbsent(b))
+          rawBytesTotal += b.length
+          nonNullCountTotal += 1
+          stats.add(b)
+          if (bloom != null) bloom.addBytes(b)
+        }
+        i += 1
+      }
     }
   }
 

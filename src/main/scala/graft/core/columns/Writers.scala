@@ -451,22 +451,32 @@ class BinaryColumnWriter(id: Int, stats: StatsBuilder) extends PrimitiveColumnWr
   def writeVec(v: ColVec): Unit = {
     present.appendVec(v.len, v.nulls)
     var i = 0
-    while (i < v.len) {
-      if (v.isNull(i)) stats.recordNull()
-      else writeValue(v.bins(i))
-      i += 1
+    if (v.packed != null) {
+      while (i < v.len) {
+        if (v.isNull(i)) stats.recordNull()
+        else writeValue(v.packed, v.binOff(i), v.binLen(i))
+        i += 1
+      }
+    } else {
+      while (i < v.len) {
+        if (v.isNull(i)) stats.recordNull()
+        else writeValue(v.bins(i))
+        i += 1
+      }
     }
   }
 
-  def writeValue(b: Array[Byte]): Unit = {
-    lengths.writeLong(b.length.toLong)
-    data.writeBytes(b)
+  def writeValue(b: Array[Byte]): Unit = writeValue(b, 0, b.length)
+
+  def writeValue(b: Array[Byte], off: Int, len: Int): Unit = {
+    lengths.writeLong(len.toLong)
+    data.writeBytes(b, off, len)
     stats match {
-      case s: BinaryStatsBuilder => s.add(b.length)
-      case s: StringStatsBuilder => s.add(b)
+      case s: BinaryStatsBuilder => s.add(len)
+      case s: StringStatsBuilder => s.add(b, off, len)
       case _ =>
     }
-    if (bloom != null) bloom.addBytes(b)
+    if (bloom != null) bloom.addBytes(b, off, len)
   }
 
   def recordNullValue(): Unit = stats.recordNull()

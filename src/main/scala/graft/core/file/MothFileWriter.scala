@@ -18,6 +18,11 @@ object ColVecOps {
     if (v.longs != null) out.longs = java.util.Arrays.copyOfRange(v.longs, from, from + len)
     if (v.doubles != null) out.doubles = java.util.Arrays.copyOfRange(v.doubles, from, from + len)
     if (v.bins != null) out.bins = java.util.Arrays.copyOfRange(v.bins, from, from + len)
+    if (v.packed != null) {
+      // share the payload buffer; offsets stay absolute into it
+      out.packed = v.packed
+      out.offs = java.util.Arrays.copyOfRange(v.offs, from, from + len + 1)
+    }
     if (v.bigs != null) out.bigs = java.util.Arrays.copyOfRange(v.bigs, from, from + len)
     if (v.lengths != null) out.lengths = java.util.Arrays.copyOfRange(v.lengths, from, from + len)
     t match {
@@ -66,6 +71,8 @@ object ColVecOps {
       case MothType.TShort => total += 2L * len
       case MothType.TInt | MothType.TFloat | MothType.TDate => total += 4L * len
       case _: MothType.TDecimal => total += 8L * len
+      case _ if v.packed != null =>
+        total += v.offs(from + len) - v.offs(from)
       case _ if v.bins != null =>
         var i = from
         while (i < from + len) { if (!v.isNull(i) && v.bins(i) != null) total += v.bins(i).length; i += 1 }

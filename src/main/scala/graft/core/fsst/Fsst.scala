@@ -48,9 +48,11 @@ final class FsstTable(val symbols: Array[Array[Byte]]) {
     t
   }
 
-  def encode(src: Array[Byte], out: ByteBuf): Unit = {
-    var pos = 0
-    val n = src.length
+  def encode(src: Array[Byte], out: ByteBuf): Unit = encode(src, 0, src.length, out)
+
+  def encode(src: Array[Byte], off: Int, len: Int, out: ByteBuf): Unit = {
+    var pos = off
+    val n = off + len
     while (pos < n) {
       var matched = -1
       if (pos + 1 < n) {

@@ -17,6 +17,9 @@ final class BloomFilter private (val bits: Array[Long], val numHashFunctions: In
   def addBytes(v: Array[Byte]): Unit =
     addHash(if (v == null) BloomFilter.NullHashcode else Murmur3.hash64(v))
 
+  def addBytes(v: Array[Byte], off: Int, len: Int): Unit =
+    addHash(Murmur3.hash64(v, off, len))
+
   def addLong(v: Long): Unit = addHash(BloomFilter.longHash(v))
 
   def addDouble(v: Double): Unit = addLong(java.lang.Double.doubleToLongBits(v))
@@ -97,10 +100,12 @@ object Murmur3 {
   private val C2 = 0x4cf5ad432745937fL
   private val DefaultSeed = 104729
 
-  def hash64(data: Array[Byte]): Long = {
+  def hash64(data: Array[Byte]): Long = hash64(data, 0, data.length)
+
+  def hash64(data: Array[Byte], off: Int, len: Int): Long = {
     var hash = DefaultSeed.toLong
-    val fastLimit = data.length - 8 + 1
-    var current = 0
+    val fastLimit = off + len - 8 + 1
+    var current = off
     while (current < fastLimit) {
       var k = (data(current) & 0xffL) |
         ((data(current + 1) & 0xffL) << 8) |
@@ -119,7 +124,7 @@ object Murmur3 {
     }
     // tail with spec-correct fallthrough
     var k = 0L
-    val tail = data.length - current
+    val tail = off + len - current
     if (tail >= 7) k ^= (data(current + 6) & 0xffL) << 48
     if (tail >= 6) k ^= (data(current + 5) & 0xffL) << 40
     if (tail >= 5) k ^= (data(current + 4) & 0xffL) << 32
@@ -133,7 +138,7 @@ object Murmur3 {
       k *= C2
       hash ^= k
     }
-    hash ^= data.length.toLong
+    hash ^= len.toLong
     fmix64(hash)
   }
 

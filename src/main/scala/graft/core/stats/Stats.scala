@@ -69,15 +69,19 @@ object ColStats {
     if (((a ^ r) & (b ^ r)) < 0) None else Some(r)
   }
 
-  def compareBytes(a: Array[Byte], b: Array[Byte]): Int = {
-    val n = math.min(a.length, b.length)
+  def compareBytes(a: Array[Byte], b: Array[Byte]): Int =
+    compareSlices(a, 0, a.length, b, 0, b.length)
+
+  def compareSlices(a: Array[Byte], ao: Int, al: Int,
+      b: Array[Byte], bo: Int, bl: Int): Int = {
+    val n = math.min(al, bl)
     var i = 0
     while (i < n) {
-      val c = (a(i) & 0xff) - (b(i) & 0xff)
+      val c = (a(ao + i) & 0xff) - (b(bo + i) & 0xff)
       if (c != 0) return c
       i += 1
     }
-    a.length - b.length
+    al - bl
   }
 }
 
@@ -138,14 +142,21 @@ final class StringStatsBuilder(limit: Int = 64) extends StatsBuilder {
   private var dropped = false
   private var sum = 0L
 
-  def add(v: Array[Byte]): Unit = {
+  def add(v: Array[Byte]): Unit = add(v, 0, v.length)
+
+  /** Slice form for packed vecs; min/max COPY on update — the backing
+    * buffer is reused by the producer (ColVec contract).
+    */
+  def add(v: Array[Byte], off: Int, len: Int): Unit = {
     nonNullCount += 1
-    sum += v.length
+    sum += len
     if (!dropped) {
-      if (v.length > limit) { dropped = true; min = null; max = null }
+      if (len > limit) { dropped = true; min = null; max = null }
       else {
-        if (min == null || ColStats.compareBytes(v, min) < 0) min = v
-        if (max == null || ColStats.compareBytes(v, max) > 0) max = v
+        if (min == null || ColStats.compareSlices(v, off, len, min, 0, min.length) < 0)
+          min = java.util.Arrays.copyOfRange(v, off, off + len)
+        if (max == null || ColStats.compareSlices(v, off, len, max, 0, max.length) > 0)
+          max = java.util.Arrays.copyOfRange(v, off, off + len)
       }
     }
   }

@@ -3,18 +3,24 @@ package graft.spark
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.SpecializedGetters
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.Platform
 import graft.core.columns.ColVec
 
 /** Tungsten-native encode path: appends values straight from reused
   * UnsafeRow/ArrayData getters into ColVec batch arrays — no external Row,
-  * no String/Timestamp materialization, no boxing. This is the hot path of
-  * the distributed encoder: per-row garbage here multiplies by 10^12 turns
-  * at target scale and throttles multi-core scaling (allocation-rate and
-  * cache contention grow with executor threads).
+  * no String/Timestamp materialization, no boxing, and (for STRING/BINARY)
+  * a PACKED payload buffer instead of one byte[] per value. Per-row garbage
+  * here multiplies by 10^12 turns at target scale and throttles multi-core
+  * scaling (allocation rate and cache traffic grow with executor threads).
   *
-  * One appender tree per task; top-level batches are fixed-size, nested
-  * children grow by doubling. All appenders extract by (getter, ordinal),
-  * so list/map/struct recursion reuses the same code over ArrayData.
+  * ZERO STEADY-STATE ALLOCATION: every appender owns oversized arrays that
+  * are handed to the built ColVec by reference and REUSED for the next
+  * batch. This relies on the ColVec contract (see ColVec doc): a vec is
+  * only valid during the `write(v)` call that consumes it; downstream
+  * keepers (dictionary entries, stats min/max) copy.
+  *
+  * All appenders extract by (getter, ordinal), so list/map/struct recursion
+  * reuses the same code over ArrayData.
   */
 object InternalBridge {
 
@@ -29,8 +35,8 @@ object InternalBridge {
       new LongAppender(cap, (g, i) => g.getLong(i))
     case FloatType => new DoubleAppender(cap, (g, i) => g.getFloat(i).toDouble)
     case DoubleType => new DoubleAppender(cap, (g, i) => g.getDouble(i))
-    case StringType => new BinsAppender(cap, (g, i) => g.getUTF8String(i).getBytes)
-    case BinaryType => new BinsAppender(cap, (g, i) => g.getBinary(i))
+    case StringType => new PackedAppender(cap, isString = true)
+    case BinaryType => new PackedAppender(cap, isString = false)
     case d: DecimalType if d.precision <= 18 =>
       new LongAppender(cap, (g, i) => g.getDecimal(i, d.precision, d.scale).toUnscaledLong)
     case d: DecimalType => new BigAppender(cap, d.precision, d.scale)
@@ -68,26 +74,33 @@ object InternalBridge {
 
   sealed abstract class ColAppender(cap: Int) {
     protected var n = 0
-    protected var nulls = new Array[Boolean](cap)
+    protected var nulls = new Array[Boolean](math.max(cap, 16))
     protected var anyNull = false
 
     final def addNull(): Unit = {
       ensureNull()
       nulls(n) = true
       anyNull = true
+      onAppend()
       n += 1
     }
     private def ensureNull(): Unit =
       if (n == nulls.length) nulls = java.util.Arrays.copyOf(nulls, n * 2)
-    protected final def pushNotNull(): Unit = { ensureNull(); nulls(n) = false; n += 1 }
+    protected final def pushNotNull(): Unit = {
+      ensureNull()
+      nulls(n) = false
+      onAppend()
+      n += 1
+    }
+    /** Per-subclass bookkeeping at append time (index n); default none. */
+    protected def onAppend(): Unit = {}
 
     def add(g: SpecializedGetters, ord: Int): Unit
     def build(): ColVec
 
+    /** Hands the (possibly oversized, reused) nulls array by reference. */
     protected final def finishInto(v: ColVec): Unit = {
-      if (anyNull) v.nulls =
-        if (nulls.length == n) nulls else java.util.Arrays.copyOf(nulls, n)
-      nulls = new Array[Boolean](math.max(cap, 16))
+      if (anyNull) v.nulls = nulls
       anyNull = false
       n = 0
     }
@@ -95,7 +108,7 @@ object InternalBridge {
 
   final class LongAppender(cap: Int, extract: (SpecializedGetters, Int) => Long)
       extends ColAppender(cap) {
-    private var a = new Array[Long](cap)
+    private var a = new Array[Long](math.max(cap, 16))
     def add(g: SpecializedGetters, ord: Int): Unit = {
       if (n >= a.length) a = java.util.Arrays.copyOf(a, (n + 1) * 2)
       a(n) = extract(g, ord)
@@ -103,8 +116,7 @@ object InternalBridge {
     }
     def build(): ColVec = {
       val v = new ColVec(n)
-      v.longs = if (a.length == n) a else java.util.Arrays.copyOf(a, n)
-      a = new Array[Long](math.max(cap, 16))
+      v.longs = a
       finishInto(v)
       v
     }
@@ -112,7 +124,7 @@ object InternalBridge {
 
   final class DoubleAppender(cap: Int, extract: (SpecializedGetters, Int) => Double)
       extends ColAppender(cap) {
-    private var a = new Array[Double](cap)
+    private var a = new Array[Double](math.max(cap, 16))
     def add(g: SpecializedGetters, ord: Int): Unit = {
       if (n >= a.length) a = java.util.Arrays.copyOf(a, (n + 1) * 2)
       a(n) = extract(g, ord)
@@ -120,25 +132,51 @@ object InternalBridge {
     }
     def build(): ColVec = {
       val v = new ColVec(n)
-      v.doubles = if (a.length == n) a else java.util.Arrays.copyOf(a, n)
-      a = new Array[Double](math.max(cap, 16))
+      v.doubles = a
       finishInto(v)
       v
     }
   }
 
-  final class BinsAppender(cap: Int, extract: (SpecializedGetters, Int) => Array[Byte])
-      extends ColAppender(cap) {
-    private var a = new Array[Array[Byte]](cap)
+  /** STRING/BINARY: one shared payload buffer + cumulative offsets.
+    * Strings copy straight from Tungsten memory (UnsafeRow page or
+    * ArrayData) into the pack — no intermediate byte[].
+    */
+  final class PackedAppender(cap: Int, isString: Boolean) extends ColAppender(cap) {
+    private var buf = new Array[Byte](math.max(cap, 16) * 64)
+    private var offs = new Array[Int](math.max(cap, 16) + 1)
+    private var used = 0
+
     def add(g: SpecializedGetters, ord: Int): Unit = {
-      if (n >= a.length) a = java.util.Arrays.copyOf(a, (n + 1) * 2)
-      a(n) = extract(g, ord)
+      if (isString) {
+        val u = g.getUTF8String(ord)
+        val nb = u.numBytes()
+        ensureBuf(nb)
+        u.writeToMemory(buf, Platform.BYTE_ARRAY_OFFSET + used)
+        used += nb
+      } else {
+        val b = g.getBinary(ord)
+        ensureBuf(b.length)
+        System.arraycopy(b, 0, buf, used, b.length)
+        used += b.length
+      }
       pushNotNull()
     }
+
+    private def ensureBuf(more: Int): Unit =
+      if (used + more > buf.length)
+        buf = java.util.Arrays.copyOf(buf, math.max(buf.length * 2, used + more))
+
+    override protected def onAppend(): Unit = {
+      if (n + 1 >= offs.length) offs = java.util.Arrays.copyOf(offs, (n + 2) * 2)
+      offs(n + 1) = used
+    }
+
     def build(): ColVec = {
       val v = new ColVec(n)
-      v.bins = if (a.length == n) a else java.util.Arrays.copyOf(a, n)
-      a = new Array[Array[Byte]](math.max(cap, 16))
+      v.packed = buf
+      v.offs = offs
+      used = 0
       finishInto(v)
       v
     }
@@ -146,7 +184,7 @@ object InternalBridge {
 
   final class BigAppender(cap: Int, precision: Int, scale: Int)
       extends ColAppender(cap) {
-    private var a = new Array[BigInt](cap)
+    private var a = new Array[BigInt](math.max(cap, 16))
     def add(g: SpecializedGetters, ord: Int): Unit = {
       if (n >= a.length) a = java.util.Arrays.copyOf(a, (n + 1) * 2)
       a(n) = BigInt(g.getDecimal(ord, precision, scale).toJavaBigDecimal.unscaledValue())
@@ -154,15 +192,14 @@ object InternalBridge {
     }
     def build(): ColVec = {
       val v = new ColVec(n)
-      v.bigs = if (a.length == n) a else java.util.Arrays.copyOf(a, n)
-      a = new Array[BigInt](math.max(cap, 16))
+      v.bigs = a
       finishInto(v)
       v
     }
   }
 
   final class ListAppender(cap: Int, elem: ColAppender) extends ColAppender(cap) {
-    private var lens = new Array[Int](cap)
+    private var lens = new Array[Int](math.max(cap, 16))
     def add(g: SpecializedGetters, ord: Int): Unit = {
       val arr = g.getArray(ord)
       val m = arr.numElements()
@@ -177,9 +214,8 @@ object InternalBridge {
     }
     def build(): ColVec = {
       val v = new ColVec(n)
-      v.lengths = if (lens.length == n) lens else java.util.Arrays.copyOf(lens, n)
+      v.lengths = lens
       v.children = Array(elem.build())
-      lens = new Array[Int](math.max(cap, 16))
       finishInto(v)
       v
     }
@@ -187,7 +223,7 @@ object InternalBridge {
 
   final class MapAppender(cap: Int, key: ColAppender, value: ColAppender)
       extends ColAppender(cap) {
-    private var lens = new Array[Int](cap)
+    private var lens = new Array[Int](math.max(cap, 16))
     def add(g: SpecializedGetters, ord: Int): Unit = {
       val map = g.getMap(ord)
       val ks = map.keyArray()
@@ -205,9 +241,8 @@ object InternalBridge {
     }
     def build(): ColVec = {
       val v = new ColVec(n)
-      v.lengths = if (lens.length == n) lens else java.util.Arrays.copyOf(lens, n)
+      v.lengths = lens
       v.children = Array(key.build(), value.build())
-      lens = new Array[Int](math.max(cap, 16))
       finishInto(v)
       v
     }

@@ -68,6 +68,9 @@ object MothSpark {
       if (i > 0) sb.append('|')
       val c = v.children(keyIdx(i))
       if (c.isNull(row)) sb.append("null")
+      else if (c.packed != null)
+        sb.append(new String(c.packed, c.binOff(row), c.binLen(row),
+          java.nio.charset.StandardCharsets.UTF_8))
       else if (c.bins != null)
         sb.append(new String(c.bins(row), java.nio.charset.StandardCharsets.UTF_8))
       else if (c.longs != null) sb.append(c.longs(row))

@@ -386,6 +386,67 @@ class FileSpec extends AnyFunSuite {
     }
   }
 
+  test("packed string/binary vecs produce byte-identical files to bins vecs") {
+    val schema = TStruct(Seq(
+      "lowcard" -> TString,  // exercises dictionary
+      "highcard" -> TString, // exercises direct / FSST
+      "bin" -> TBinary))
+    val r = new scala.util.Random(7)
+    val batches = 5
+    val rowsPer = 4097 // crosses row-group boundaries mid-batch over batches
+    def values(b: Int): (Array[Array[Byte]], Array[Array[Byte]], Array[Array[Byte]], Array[Boolean]) = {
+      val rr = new scala.util.Random(100 + b)
+      val nulls = Array.tabulate(rowsPer)(i => (i + b) % 11 == 0)
+      val low = Array.tabulate(rowsPer)(i => if (nulls(i)) null else s"cat-${rr.nextInt(20)}".getBytes("UTF-8"))
+      val high = Array.tabulate(rowsPer)(i => if (nulls(i)) null else s"https://host/x/${rr.nextLong()}".getBytes("UTF-8"))
+      val bin = Array.tabulate(rowsPer)(i => if (nulls(i)) null else { val a = new Array[Byte](rr.nextInt(20)); rr.nextBytes(a); a })
+      (low, high, bin, nulls)
+    }
+    def binsVec(b: Int): ColVec = {
+      val (low, high, bin, nulls) = values(b)
+      val v = new ColVec(rowsPer)
+      def col(a: Array[Array[Byte]]): ColVec = {
+        val c = new ColVec(rowsPer); c.nulls = nulls.clone(); c.bins = a; c
+      }
+      v.children = Array(col(low), col(high), col(bin))
+      v
+    }
+    def packedVec(b: Int): ColVec = {
+      val (low, high, bin, nulls) = values(b)
+      val v = new ColVec(rowsPer)
+      def col(a: Array[Array[Byte]]): ColVec = {
+        val c = new ColVec(rowsPer); c.nulls = nulls.clone()
+        // oversized reused-style buffer with slack, offsets cumulative
+        val total = a.filter(_ != null).map(_.length).sum
+        c.packed = new Array[Byte](total + 123)
+        c.offs = new Array[Int](rowsPer + 64)
+        var used = 0
+        for (i <- 0 until rowsPer) {
+          if (a(i) != null) { System.arraycopy(a(i), 0, c.packed, used, a(i).length); used += a(i).length }
+          c.offs(i + 1) = used
+        }
+        c
+      }
+      v.children = Array(col(low), col(high), col(bin))
+      v
+    }
+    def fileOf(mk: Int => ColVec): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      val w = new MothFileWriter(bos, schema, CompressionKind.ZLIB,
+        WriterOpts(bloomColumns = Set("lowcard", "highcard")))
+      (0 until batches).foreach(b => w.write(mk(b)))
+      w.close()
+      bos.toByteArray
+    }
+    val a = fileOf(binsVec)
+    val b = fileOf(packedVec)
+    assert(java.util.Arrays.equals(a, b), "packed and bins files must be byte-identical")
+    // decode and spot-check
+    val rd = MothFileReader.fromBytes(b)
+    val out = rd.batches().toSeq
+    assert(out.map(_.len).sum == batches * rowsPer)
+  }
+
   test("timestamp encodeNanos golden table") {
     import TimestampColumnWriter._
     // reference comment rows (TimestampColumnWriter.go:42-51)
