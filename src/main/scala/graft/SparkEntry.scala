@@ -116,6 +116,22 @@ object SparkEntry {
       }(enc).filter(col("o_orderkey").between(1000L, 5000L)).orderBy("o_orderkey")
     }),
 
+    // — DataSourceV2: format("moth") scan with column pruning + stats/bloom
+    //   filter pushdown through Catalyst (encode once, then scan) —
+    "dsv2_scan_orders" -> ((s, d) => {
+      val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft-dsv2-${Integer.toHexString(d.hashCode)}/orders").getAbsolutePath
+      val src = read(s, d, "orders")
+        .repartition(4, col("o_orderkey")).sortWithinPartitions("o_orderkey")
+      MothSpark.writeFiles(src, out, s"dsv2:$d:orders", CompressionKind.ZLIB,
+        WriterOpts(rowGroupMaxRowCount = 1000), Seq("o_orderkey"))
+      s.read.format("moth").load(out)
+        .filter(col("o_orderkey").between(1000L, 5000L))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), sum("o_orderkey").as("sum_key"))
+        .orderBy("o_orderstatus")
+    }),
+
     // — training-data ops (shared SQL text with the oracle) —
     "dedup_exact" -> ((s, d) => bySql(s, d, Seq("documents"), DedupExactSql)),
     "text_quality" -> ((s, d) => bySql(s, d, Seq("documents"), TextQualitySql)),
@@ -212,6 +228,10 @@ object SparkEntry {
         |  min(l_orderkey) AS min_okey, max(l_orderkey) AS max_okey FROM lineitem""".stripMargin,
     "prune_orders" ->
       "SELECT * FROM orders WHERE o_orderkey BETWEEN 1000 AND 5000 ORDER BY o_orderkey",
+    "dsv2_scan_orders" ->
+      """SELECT o_orderstatus, count(*) AS cnt, cast(sum(o_orderkey) AS bigint) AS sum_key
+        |FROM orders WHERE o_orderkey BETWEEN 1000 AND 5000
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "dedup_exact" -> DedupExactSql,
     "text_quality" -> TextQualitySql,
     "lang_id" -> LangIdSql,

@@ -1,0 +1,206 @@
+package graft.spark.source
+
+import java.util.{Map => JMap}
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.{ByteType, DateType, IntegerType, LongType, ShortType, StringType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.catalyst.InternalRow
+import graft.core.file.{LongEqPred, LongRangePred, MothFileReader, StatsPredicate, StringEqPred}
+import graft.spark.SparkBridge
+
+/** DataSourceV2 "moth" format: `spark.read.format("moth").load(dir)`.
+  *
+  * Spark-native read integration for the engine's file format —
+  * the Catalyst-facing face of the reader in graft.core.file:
+  *  - schema inference from the file footer (MothReader.go:43-93 analog)
+  *  - column pruning pushed to the stream level (only projected columns'
+  *    streams are read — StripeReader.go:334-345 semantics)
+  *  - filter pushdown into file/stripe/row-group statistics + bloom
+  *    pruning (MothPredicate.go semantics). Pruning is CONSERVATIVE, so
+  *    every filter is also returned as a residual for Spark to re-apply —
+  *    exactly how ORC SearchArguments behave.
+  *  - one input partition per file (files are written partition-sized by
+  *    EncodeJob; on a real cluster large files would additionally split by
+  *    stripe ranges — the reader already takes a [start,end) split and
+  *    assigns stripes by first byte, MothRecordReader.go splitContainsStripe)
+  *  - statistics reporting from footers so Catalyst can size joins
+  *    (broadcast decisions) without scanning.
+  */
+class MothDataSourceV2 extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "moth"
+
+  private def pathOf(options: CaseInsensitiveStringMap): String = {
+    val p = options.get("path")
+    require(p != null, "moth source requires a path")
+    p
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    MothTable.schemaOf(MothTable.listFiles(pathOf(options)))
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    new MothTable(properties.get("path"), schema)
+
+  override def supportsExternalMetadata(): Boolean = true
+}
+
+object MothTable {
+  def listFiles(path: String): Seq[String] = {
+    val f = new java.io.File(path)
+    val files =
+      if (f.isFile) Seq(f.getAbsolutePath)
+      else f.listFiles((_, n) => n.endsWith(".moth")).map(_.getAbsolutePath).toSeq.sorted
+    require(files.nonEmpty, s"no .moth files at $path")
+    files
+  }
+
+  def schemaOf(files: Seq[String]): StructType = {
+    val rd = MothFileReader.fromPath(files.head)
+    try SparkBridge.toSparkSchema(rd.schema)
+    finally rd.close()
+  }
+}
+
+class MothTable(path: String, tableSchema: StructType) extends Table with SupportsRead {
+  override def name(): String = s"moth:$path"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new MothScanBuilder(path, tableSchema)
+}
+
+class MothScanBuilder(path: String, fullSchema: StructType)
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = fullSchema
+  private var pushed: Array[Filter] = Array.empty
+
+  /** Accept what the stats/bloom pruner understands; EVERYTHING stays a
+    * residual (return all) because stats pruning only skips impossible
+    * units, it does not filter rows.
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.flatMap(f => MothFilters.toPreds(fullSchema, f).map(_ => f))
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan =
+    new MothScan(path, required,
+      StatsPredicate(pushed.flatMap(f => MothFilters.toPreds(fullSchema, f)).toSeq))
+}
+
+/** Spark Filter → engine ColPredicate (conservative subset). */
+object MothFilters {
+  import graft.core.file.ColPredicate
+
+  private def isIntFamily(schema: StructType, col: String): Boolean =
+    schema.find(_.name == col).exists(f => f.dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    })
+
+  private def isString(schema: StructType, col: String): Boolean =
+    schema.find(_.name == col).exists(_.dataType == StringType)
+
+  private def longOf(v: Any): Option[Long] = v match {
+    case n: java.lang.Number => Some(n.longValue())
+    case _ => None
+  }
+
+  def toPreds(schema: StructType, f: Filter): Seq[ColPredicate] = f match {
+    case EqualTo(c, v) if isIntFamily(schema, c) =>
+      longOf(v).map(LongEqPred(c, _)).toSeq
+    case EqualTo(c, v: String) if isString(schema, c) =>
+      Seq(StringEqPred(c, v))
+    case GreaterThan(c, v) if isIntFamily(schema, c) =>
+      longOf(v).map(x => LongRangePred(c, Some(x + 1), None)).toSeq
+    case GreaterThanOrEqual(c, v) if isIntFamily(schema, c) =>
+      longOf(v).map(x => LongRangePred(c, Some(x), None)).toSeq
+    case LessThan(c, v) if isIntFamily(schema, c) =>
+      longOf(v).map(x => LongRangePred(c, None, Some(x - 1))).toSeq
+    case LessThanOrEqual(c, v) if isIntFamily(schema, c) =>
+      longOf(v).map(x => LongRangePred(c, None, Some(x))).toSeq
+    case And(l, r) => toPreds(schema, l) ++ toPreds(schema, r)
+    case _ => Nil
+  }
+}
+
+class MothScan(path: String, required: StructType, predicate: StatsPredicate)
+    extends Scan with Batch with SupportsReportStatistics {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"MothScan(path=$path, cols=${required.fieldNames.mkString(",")}, " +
+      s"preds=${predicate.preds.size})"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    MothTable.listFiles(path).map(MothInputPartition(_)).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    MothReaderFactory(required, predicate)
+
+  /** Footer-derived stats — lets Catalyst see table size without a scan
+    * (broadcast-join thresholds at 100TB depend on this).
+    */
+  override def estimateStatistics(): Statistics = {
+    var rows = 0L
+    var bytes = 0L
+    MothTable.listFiles(path).foreach { f =>
+      val rd = MothFileReader.fromPath(f)
+      try {
+        rows += rd.rowCount
+        bytes += rd.footer.contentLength
+      } finally rd.close()
+    }
+    val (r, b) = (rows, bytes)
+    new Statistics {
+      override def sizeInBytes() = java.util.OptionalLong.of(b)
+      override def numRows() = java.util.OptionalLong.of(r)
+    }
+  }
+}
+
+case class MothInputPartition(file: String) extends InputPartition
+
+case class MothReaderFactory(required: StructType, predicate: StatsPredicate)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new MothPartitionReader(partition.asInstanceOf[MothInputPartition].file,
+      required, predicate)
+}
+
+class MothPartitionReader(file: String, required: StructType,
+    predicate: StatsPredicate) extends PartitionReader[InternalRow] {
+  private val reader = MothFileReader.fromPath(file)
+  private val rows: Iterator[InternalRow] = reader
+    .batches(
+      includedFields =
+        if (required.isEmpty) Some(Seq(reader.schema.fields.head._1))
+        else Some(required.fieldNames.toSeq),
+      predicate = predicate)
+    .flatMap { v =>
+      if (required.isEmpty) {
+        // COUNT(*)-style scan: only row positions matter
+        Iterator.fill(v.len)(InternalRow.empty)
+      } else SparkBridge.vecToInternalRows(required, v)
+    }
+
+  private var current: InternalRow = _
+  override def next(): Boolean = {
+    if (rows.hasNext) { current = rows.next(); true } else false
+  }
+  override def get(): InternalRow = current
+  override def close(): Unit = reader.close()
+}
