@@ -59,11 +59,28 @@ object SparkEntry {
     "roundtrip_documents" -> ((s, d) => rt(s, d, "documents", Seq("doc_id"))),
     "roundtrip_events" -> ((s, d) => rt(s, d, "events", Seq("event_id"))),
     "roundtrip_embeddings" -> ((s, d) => rt(s, d, "embeddings", Seq("vec_id"))),
-    // codec coverage on strings-heavy data
+    // codec coverage on strings-heavy data — full codec matrix
     "roundtrip_documents_zstd" -> ((s, d) =>
       rt(s, d, "documents", Seq("doc_id"), CompressionKind.ZSTD)),
     "roundtrip_customer_lz4" -> ((s, d) =>
       rt(s, d, "customer", Seq("c_custkey"), CompressionKind.LZ4)),
+    "roundtrip_part_snappy" -> ((s, d) =>
+      rt(s, d, "part", Seq("p_partkey"), CompressionKind.SNAPPY)),
+    "roundtrip_supplier_none" -> ((s, d) =>
+      rt(s, d, "supplier", Seq("s_suppkey"), CompressionKind.NONE)),
+
+    // — multimodal-style opaque binary column: cast text payloads to binary,
+    //   round-trip through the BINARY writer (SliceDirect), extract typed
+    //   features from the blob (length + md5 fingerprint) —
+    "binary_features" -> ((s, d) => {
+      val withBlob = read(s, d, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
+      MothSpark.roundtrip(withBlob)
+        .select(col("doc_id"),
+          length(col("blob")).cast("long").as("n_bytes"),
+          md5(col("blob")).as("blob_md5"))
+        .orderBy("doc_id")
+    }),
 
     // — transcripts per input_hint (derived from events), round-tripped —
     "transcripts_roundtrip" -> ((s, d) => {
@@ -221,6 +238,12 @@ object SparkEntry {
     "roundtrip_embeddings" -> "SELECT * FROM embeddings ORDER BY vec_id",
     "roundtrip_documents_zstd" -> "SELECT * FROM documents ORDER BY doc_id",
     "roundtrip_customer_lz4" -> "SELECT * FROM customer ORDER BY c_custkey",
+    "roundtrip_part_snappy" -> "SELECT * FROM part ORDER BY p_partkey",
+    "roundtrip_supplier_none" -> "SELECT * FROM supplier ORDER BY s_suppkey",
+    "binary_features" ->
+      """SELECT doc_id, cast(octet_length(cast(text AS BLOB)) AS bigint) AS n_bytes,
+        |  md5(text) AS blob_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "transcripts_roundtrip" ->
       s"SELECT * FROM ($TranscriptsSql) ORDER BY conv_id, turn_idx",
     "stats_lineitem" ->

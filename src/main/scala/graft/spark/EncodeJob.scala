@@ -45,6 +45,25 @@ object EncodeJob {
   def parseArgs(args: Array[String]): Map[String, String] =
     args.sliding(2, 2).collect { case Array(k, v) if k.startsWith("--") => k.drop(2) -> v }.toMap
 
+  /** probe(k) = smallest int v with Spark's HashPartitioning placement
+    * pmod(murmur3_32(v, seed 42), P) == k — so `repartition(P, remap(pid))`
+    * puts pid k exactly on partition k. Expected probes per slot ≈ P
+    * (coupon collector ≈ P·lnP total; P ≤ a few thousand ⇒ microseconds).
+    */
+  def identityProbeValues(partitions: Int): Array[Int] = {
+    val out = new Array[Int](partitions)
+    val found = new Array[Boolean](partitions)
+    var remaining = partitions
+    var v = 0
+    while (remaining > 0) {
+      val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt(v, 42)
+      val slot = ((h % partitions) + partitions) % partitions
+      if (!found(slot)) { found(slot) = true; out(slot) = v; remaining -= 1 }
+      v += 1
+    }
+    out
+  }
+
   def run(spark: SparkSession, a: Map[String, String]): String = {
     val out = a.getOrElse("out", sys.error("--out required"))
     val partitions = a.getOrElse("partitions", spark.sparkContext.defaultParallelism.toString).toInt
@@ -64,23 +83,24 @@ object EncodeJob {
     val salted = TranscriptGen.withSalt(input, saltBlock)
     val shuffled = mode match {
       case "hash" =>
-        // Fully deterministic placement: pid k → partition k via an explicit
-        // identity Partitioner. This is the one deliberate RDD hop in the
-        // engine (SURVEY.md §7.3 #5): both repartition(P, pid) (re-hashes
-        // the pid, leaves ~1/e of partitions empty) and repartitionByRange
-        // (samples bounds with RDD-id-dependent seeds — NOT stable across
-        // re-runs) fail the byte-identical-resume requirement.
+        // Fully deterministic placement, pure Catalyst: pid k → partition k.
+        // repartition(P, expr) uses HashPartitioning = pmod(murmur3(expr,
+        // seed 42), P), which is content-deterministic but NOT the identity
+        // (≈1/e of partitions would stay empty and some get 2-3 pids). So
+        // remap each pid to a precomputed probe value v_k with
+        // murmur3(v_k) % P = k: placement becomes exactly pid → partition
+        // pid with zero empty partitions, no sampling pass (unlike
+        // repartitionByRange, whose sampled bounds are RDD-id-seeded and
+        // NOT stable across re-runs) and no RDD hop. Byte-identical resume
+        // (north rule) holds because every operator here is content-hashed.
+        val remap = EncodeJob.identityProbeValues(partitions)
         val withPid = salted.withColumn("__pid",
           pmod(xxhash64(col("conv_id")) + col("salt"), lit(partitions)).cast("int"))
-        val pidIdx = withPid.schema.fieldIndex("__pid")
-        val part = new org.apache.spark.Partitioner {
-          def numPartitions: Int = partitions
-          def getPartition(key: Any): Int = key.asInstanceOf[Int]
-        }
-        val rdd = withPid.rdd.map(r => (r.getInt(pidIdx), r)).partitionBy(part).values
-        spark.createDataFrame(rdd, withPid.schema)
+        withPid
+          .withColumn("__rp", element_at(lit(remap), col("__pid") + 1))
+          .repartition(partitions, col("__rp"))
           .sortWithinPartitions(col("conv_id"), col("turn_idx"))
-          .drop("__pid", "salt")
+          .drop("__pid", "__rp", "salt")
       case _ =>
         salted
           .repartitionByRange(partitions, col("conv_id"), col("salt"), col("turn_idx"))
