@@ -29,9 +29,16 @@ object Bench {
     * child so the timed section is steady-state.
     */
   final case class Trial(secs: Double, rows: Long, rawBytes: Long,
-      fileBytes: Long, calibMs: Long)
+      fileBytes: Long, calibMs: Long, calibAluMs: Long)
 
-  private def encodeRun(cpus: Int, turns: Long, outDir: String, parts: Int): Trial = {
+  private def encodeRun(cpus: Int, turns: Long, outDir: String, parts: Int): Trial =
+    finishChild(startChild(cpus, turns, outDir, parts, None, None))
+
+  /** Launch a child, optionally pinned to a core range (taskset) and
+    * synchronized on a file barrier (writes ready-<cpus>, waits for `go`).
+    */
+  private def startChild(cpus: Int, turns: Long, outDir: String, parts: Int,
+      pinCores: Option[String], barrierDir: Option[String]): Process = {
     val javaBin = s"${System.getProperty("java.home")}/bin/java"
     val addOpens = Seq(
       "java.base/java.lang", "java.base/java.lang.invoke", "java.base/java.lang.reflect",
@@ -44,7 +51,8 @@ object Bench {
     val extraOpts = sys.env.getOrElse("SPARK_GRAFT_CHILD_OPTS", "")
       .split("\\s+").filter(_.nonEmpty).toSeq
     val childMem = sys.env.getOrElse("SPARK_GRAFT_CHILD_MEM", "8g")
-    val cmd = Seq(javaBin) ++ addOpens ++ extraOpts ++ Seq(
+    val pin = pinCores.map(c => Seq("taskset", "-c", c)).getOrElse(Nil)
+    val cmd = pin ++ Seq(javaBin) ++ addOpens ++ extraOpts ++ Seq(
       // fixed pre-touched heap: heap-growth page faults otherwise land in
       // the timed section and scale with thread count
       s"-Xms$childMem", s"-Xmx$childMem", "-XX:+AlwaysPreTouch",
@@ -54,18 +62,23 @@ object Bench {
       "graft.BenchChild", cpus.toString, turns.toString, outDir, parts.toString)
     val pb = new ProcessBuilder(cmd: _*)
     pb.environment().putAll(System.getenv())
+    barrierDir.foreach(d => pb.environment().put("SPARK_GRAFT_BARRIER_DIR", d))
     pb.redirectErrorStream(true)
-    val proc = pb.start()
+    pb.start()
+  }
+
+  private def finishChild(proc: Process): Trial = {
     // Concurrent noise sampling: while the child runs, the (otherwise idle)
     // parent times the membw probe every ~4s; the WORST concurrent reading
     // marks the trial. A probe only before/after the child misses storms
     // that start mid-run.
     @volatile var worstCalib = 0L
+    @volatile var worstAlu = 0L
     val sampler = new Thread(() => {
       try while (proc.isAlive) {
-        val c = BenchChild.calibrate()
-        worstCalib = math.max(worstCalib, c)
-        Thread.sleep(4000)
+        worstCalib = math.max(worstCalib, BenchChild.calibrate())
+        worstAlu = math.max(worstAlu, BenchChild.calibrateAlu())
+        Thread.sleep(3500)
       } catch { case _: InterruptedException => }
     })
     sampler.setDaemon(true)
@@ -79,7 +92,48 @@ object Bench {
       .compile("BENCHCHILD (\\S+) (\\d+) (\\d+) (\\d+) (\\d+)").matcher(out)
     require(m.find(), s"child failed:\n${out.takeRight(3000)}")
     Trial(m.group(1).toDouble, m.group(2).toLong, m.group(3).toLong,
-      m.group(4).toLong, math.max(m.group(5).toLong, worstCalib))
+      m.group(4).toLong, math.max(m.group(5).toLong, worstCalib), worstAlu)
+  }
+
+  /** Noise-invariant pair: run the N-core and 4N-core children AT THE SAME
+    * TIME on DISJOINT pinned cores (taskset), timed sections co-started via
+    * a file barrier. Host noise (co-tenant CPU steal / membw pressure) hits
+    * both measurements identically, so the ratio tN/(4·t4N) is stable even
+    * when absolute walls are inflated — the in-sandbox analog of comparing
+    * two cluster sizes under the same cluster weather. Mutual interference
+    * is bounded (N+4N ≤ 10 of 32 vCPUs; shared membw mimics any real
+    * multi-tenant node) and biases the ratio conservatively: the N child
+    * runs ~4× longer, spending most of its span WITHOUT the 4N child.
+    */
+  private def concurrentPair(scaleN: Int, turns: Long, outN: String,
+      out4N: String, parts: Int): (Trial, Trial) = {
+    val barrier = Files.createTempDirectory(Paths.get("/dev/shm"), "graft-barrier").toString
+    val pN = startChild(scaleN, turns, outN, parts,
+      Some(s"0-${scaleN - 1}"), Some(barrier))
+    val p4N = startChild(scaleN * 4, turns, out4N, parts,
+      Some(s"$scaleN-${scaleN * 5 - 1}"), Some(barrier))
+    // release the barrier once both children finished warmup
+    val releaser = new Thread(() => {
+      val deadline = System.nanoTime() + 600L * 1000000000L
+      while (System.nanoTime() < deadline &&
+          !(Files.exists(Paths.get(barrier, s"ready-$scaleN")) &&
+            Files.exists(Paths.get(barrier, s"ready-${scaleN * 4}")))) {
+        Thread.sleep(100)
+      }
+      Files.writeString(Paths.get(barrier, "go"), "")
+    })
+    releaser.setDaemon(true)
+    releaser.start()
+    // drain both children concurrently (a full pipe would stall a child
+    // inside its timed section)
+    val fa = new java.util.concurrent.FutureTask(() => finishChild(pN))
+    val fb = new java.util.concurrent.FutureTask(() => finishChild(p4N))
+    new Thread(fa).start()
+    new Thread(fb).start()
+    val (a, b) = (fa.get(), fb.get())
+    new java.io.File(barrier).listFiles().foreach(_.delete())
+    new java.io.File(barrier).delete()
+    (a, b)
   }
 
   def main(args: Array[String]): Unit = {
@@ -129,6 +183,7 @@ object Bench {
     val maxTrials = sys.env.getOrElse("SPARK_GRAFT_TRIALS", "10").toInt
     var trialsN = List.empty[Trial]
     var trials4N = List.empty[Trial]
+    var pairs = List.empty[(Trial, Trial)]
     // Per-level gating: an encoding child loads membw itself (more at 4N),
     // so a trial's concurrent probe reading is only comparable to other
     // trials OF THE SAME LEVEL — the engine's self-interference is constant
@@ -136,8 +191,9 @@ object Bench {
     def quiet(ts: List[Trial]): List[Trial] = {
       if (ts.isEmpty) Nil
       else {
-        val best = ts.map(_.calibMs).min
-        ts.filter(_.calibMs <= best * 1.25)
+        val bestMem = ts.map(_.calibMs).min
+        val bestAlu = ts.map(_.calibAluMs).min
+        ts.filter(t => t.calibMs <= bestMem * 1.25 && t.calibAluMs <= bestAlu * 1.25)
       }
     }
     // Between pairs, poll the same membw probe in-process and hold off
@@ -160,26 +216,34 @@ object Bench {
     // sampled, the better. Run pairs until the time budget is spent or both
     // levels have CONVERGED (≥2 quiet trials within 3% of that level's
     // minimum — i.e. the minimum was reproduced, not a fluke).
-    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "720").toInt
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "1080").toInt
     val tStart = System.nanoTime()
     def elapsed: Double = (System.nanoTime() - tStart) / 1e9
     def converged(ts: List[Trial]): Boolean = {
       val q = quiet(ts).map(_.secs)
       q.nonEmpty && q.count(_ <= q.min * 1.03) >= 2
     }
+    // concurrent pinned pairs are the default scaling evidence (the ratio
+    // within one pair is noise-invariant); sequential interleaved trials
+    // via SPARK_GRAFT_CONCURRENT=0
+    val concurrent = sys.env.getOrElse("SPARK_GRAFT_CONCURRENT", "1") == "1"
     var i = 0
     while (i < maxTrials && (i < 2 ||
         (elapsed < budgetSec && !(converged(trialsN) && converged(trials4N))))) {
       i += 1
       waitForQuiet()
-      val a = encodeRun(scaleN, benchTurns, s"$tmp/pN$i", parts)
-      val b = encodeRun(scaleN * 4, benchTurns, s"$tmp/p4N$i", parts)
+      val (a, b) =
+        if (concurrent) concurrentPair(scaleN, benchTurns, s"$tmp/pN$i", s"$tmp/p4N$i", parts)
+        else (encodeRun(scaleN, benchTurns, s"$tmp/pN$i", parts),
+          encodeRun(scaleN * 4, benchTurns, s"$tmp/p4N$i", parts))
       trialsN ::= a
       trials4N ::= b
+      pairs ::= ((a, b))
       val qN = quiet(trialsN).map(_.secs).minOption
       val q4N = quiet(trials4N).map(_.secs).minOption
-      println(f"  trial $i: tN=${a.secs}%.2f (calib ${a.calibMs}ms) " +
-        f"t4N=${b.secs}%.2f (calib ${b.calibMs}ms) " +
+      println(f"  trial $i: tN=${a.secs}%.2f (mem ${a.calibMs}ms alu ${a.calibAluMs}ms) " +
+        f"t4N=${b.secs}%.2f (mem ${b.calibMs}ms alu ${b.calibAluMs}ms) " +
+        f"pairEff=${a.secs / (4 * b.secs)}%.3f " +
         s"quietMinN=${qN.fold("-")(v => f"$v%.2f")} quietMin4N=${q4N.fold("-")(v => f"$v%.2f")}")
     }
     // fall back to all trials only if a level never saw a quiet window
@@ -187,11 +251,19 @@ object Bench {
       val q = quiet(ts)
       (if (q.nonEmpty) q else ts).minBy(_.secs)
     }
-    val Trial(t8, rows8, raw8, bytes8, _) = pick(trialsN)
-    val Trial(t32, rows32, _, _, _) = pick(trials4N)
+    // Concurrent mode: keep the estimator PAIR-MATCHED — the ratio is only
+    // noise-invariant within one pair (same window). Report the quietest
+    // pair's walls (so eff == tN/(4·t4N) consistently) plus the median
+    // pair efficiency as a stability cross-check.
+    val (Trial(t8, rows8, raw8, bytes8, _, _), Trial(t32, rows32, _, _, _, _)) =
+      if (concurrent) pairs.minBy(p => p._1.secs + 4 * p._2.secs)
+      else (pick(trialsN), pick(trials4N))
+    val pairEffs = pairs.map(p => p._1.secs / (4 * p._2.secs)).sorted
+    val medianPairEff = pairEffs(pairEffs.size / 2)
     val calibSpread = {
-      val all = (trialsN ++ trials4N).map(_.calibMs)
-      f"${all.min}ms..${all.max}ms over ${all.size} trials"
+      val mem = (trialsN ++ trials4N).map(_.calibMs)
+      val alu = (trialsN ++ trials4N).map(_.calibAluMs)
+      s"mem ${mem.min}..${mem.max}ms, alu ${alu.min}..${alu.max}ms over ${mem.size} trials"
     }
     val r8 = rows8 / t8
     val r32 = rows32 / t32
@@ -203,7 +275,8 @@ object Bench {
     val json =
       f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"sf":"$sfDir","""+
       f""""encode":{"turns":$benchTurns,"coresN":$scaleN,"tN":$t8%.2f,"t4N":$t32%.2f,"turnsPerSecN":$r8%.0f,"""+
-      f""""turnsPerSec4N":$r32%.0f,"scalingEfficiency":$eff%.3f,"compressionRatio":$ratio%.2f,"""+
+      f""""turnsPerSec4N":$r32%.0f,"scalingEfficiency":$eff%.3f,"medianPairEff":$medianPairEff%.3f,"""+
+      f""""compressionRatio":$ratio%.2f,"concurrentPairs":$concurrent,"""+
       s""""hostCalibSpread":"$calibSpread"}}"""
     println(json)
 
@@ -215,13 +288,18 @@ object Bench {
          |Scaling criterion evidenced at two parallelism levels per BASELINE.md
          |(no real cluster in this sandbox): same input, identical partitioning,
          |local[$scaleN] vs local[${scaleN * 4}], each in its own child JVM
-         |(= separate spark-submit). The host is a noisy neighbor (a fixed
-         |single-thread CPU calibration workload drifts ±40%%+ between runs:
-         |this session $calibSpread), so trials alternate N/4N, a trial
-         |counts as QUIET only if its calibration is within 25%% of the
-         |session best, and each level reports its minimum wall over quiet
-         |trials (adaptive stop once both quiet minima are stable). Host
-         |ceiling (parallel sha256): 2->8 cores 0.93, 4->16 cores 0.82,
+         |(= separate spark-submit). The host is a noisy neighbor (fixed
+         |membw/ALU calibration workloads drift ±40%%+ between runs: this
+         |session $calibSpread). Evidence mode: ${if (concurrent)
+           "CONCURRENT PINNED PAIRS — both children run simultaneously on " +
+           "disjoint taskset core ranges with a file-barrier co-start, so " +
+           "host noise hits both identically and the within-pair ratio is " +
+           "noise-invariant; the quietest pair is reported, median pair " +
+           f"efficiency across ${pairs.size} pairs = $medianPairEff%.3f"
+         else
+           "sequential interleaved trials; per-level minimum over " +
+           "calibration-quiet trials"}.
+         |Host ceiling (parallel sha256): 2->8 cores 0.93, 4->16 cores 0.82,
          |8->32 cores 0.78 — the engine is measured in the 2->8 regime where
          |the hardware itself scales.
          |

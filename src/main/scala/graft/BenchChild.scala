@@ -42,13 +42,31 @@ object BenchChild {
     }
     best
   }
+
+  /** CPU-latency-sensitive probe (~250ms quiet): a serial ALU dependency
+    * chain — flat through membw storms but sees CPU steal / frequency
+    * throttling, which the membw probe can miss. The two probes together
+    * classify a window; either going loud marks the trial noisy.
+    */
+  def calibrateAlu(): Long = {
+    val t0 = System.nanoTime()
+    var x = 0x9e3779b97f4a7c15L
+    var i = 0
+    while (i < 80000000) {
+      x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+      x ^= x >>> 29; x *= 0xc4ceb9fe1a85ec53L
+      i += 1
+    }
+    if (x == 42L) println("") // keep the loop live
+    (System.nanoTime() - t0) / 1000000L
+  }
   def main(args: Array[String]): Unit = {
     val Array(cpusS, turnsS, outDir, partsS) = args
     val cpus = cpusS.toInt
     val turns = turnsS.toLong
     val parts = partsS.toInt
     val mode = sys.env.getOrElse("SPARK_GRAFT_MODE", "range")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(s"graft-bench-child-$cpus")
       .config("spark.sql.shuffle.partitions", parts)
@@ -56,7 +74,9 @@ object BenchChild {
       .config("spark.io.compression.codec",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_CODEC", "lz4"))
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    sys.env.getOrElse("SPARK_GRAFT_EXTRA_CONF", "").split(',').filter(_.contains('='))
+      .foreach { kv => val Array(k, v) = kv.split("=", 2); builder.config(k, v) }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     if (sys.env.contains("SPARK_GRAFT_STAGE_DEBUG"))
       spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
@@ -82,6 +102,15 @@ object BenchChild {
         "partitions" -> parts.toString, "codec" -> "zlib", "seed" -> "7",
         "partitioning" -> mode))
       System.gc()
+      // concurrent-pair mode: rendezvous so both children's timed sections
+      // start together (same host-noise window on disjoint pinned cores)
+      sys.env.get("SPARK_GRAFT_BARRIER_DIR").foreach { d =>
+        java.nio.file.Files.writeString(java.nio.file.Paths.get(d, s"ready-$cpus"), "")
+        val goPath = java.nio.file.Paths.get(d, "go")
+        val deadline = System.nanoTime() + 600L * 1000000000L
+        while (!java.nio.file.Files.exists(goPath) && System.nanoTime() < deadline)
+          Thread.sleep(50)
+      }
       val t0 = System.nanoTime()
       val summary = graft.spark.EncodeJob.run(spark, Map(
         "out" -> outDir, "turns" -> turns.toString,

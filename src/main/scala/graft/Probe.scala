@@ -7,16 +7,21 @@ import org.apache.spark.sql.functions._
 object Probe {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("readfiles")) { readFilesProbe(args(1)); return }
+    if (args.headOption.contains("purecore")) {
+      pureCoreScaling(args.lift(1).map(_.toInt).getOrElse(8)); return
+    }
     val cpus = args.headOption.getOrElse("8").toInt
     val turns = args.lift(1).map(_.toLong).getOrElse(500000L)
     // identical partitioning at every parallelism level (as in Bench)
     val parts = args.lift(2).map(_.toInt).getOrElse(24)
-    val spark = SparkSession.builder().master(s"local[$cpus]")
+    val builder = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", parts)
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", "/dev/shm/graft-probe")
       .config("spark.sql.session.timeZone", "UTC")
-      .getOrCreate()
+    sys.env.getOrElse("SPARK_GRAFT_EXTRA_CONF", "").split(',').filter(_.contains('='))
+      .foreach { kv => val Array(k, v) = kv.split("=", 2); builder.config(k, v) }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onStageCompleted(
@@ -96,6 +101,77 @@ object Probe {
     }
     rm(new java.io.File(tmp)); rm(new java.io.File(tmp2))
     spark.stop()
+  }
+
+  /** Pure-engine thread-scaling probe (no Spark): K threads each encode a
+    * distinct 250k-turn slice straight through MothFileWriter. Separates
+    * engine cache/alloc contention from Spark shuffle/sort machinery.
+    */
+  def pureCoreScaling(maxThreads: Int): Unit = {
+    import graft.core.columns._
+    import graft.core.file.MothFileWriter
+    import graft.core.compress.CompressionKind
+    val schema = MothType.TStruct(Seq(
+      "conv_id" -> MothType.TString, "turn_idx" -> MothType.TInt,
+      "role" -> MothType.TString, "text" -> MothType.TString,
+      "tool" -> MothType.TString, "ts" -> MothType.TTimestampInstant))
+    // build per-thread batch sets (distinct data, built once, excluded from timing)
+    def batchesFor(tid: Int): Array[ColVec] = {
+      val r = new scala.util.Random(900 + tid)
+      Array.tabulate(245)(bi => {
+        val n = 1024
+        val v = new ColVec(n)
+        def strCol(f: Int => Array[Byte]): ColVec = {
+          val c = new ColVec(n); c.bins = Array.tabulate(n)(f); c
+        }
+        val conv = strCol(i => f"conv-${tid * 100000 + bi * 4 + i / 256}%012d".getBytes)
+        val turn = { val c = new ColVec(n); c.longs = Array.tabulate(n)(i => (i % 256).toLong); c }
+        val role = strCol(i => graft.spark.TranscriptGen.Roles(r.nextInt(4)).getBytes)
+        val text = strCol { i =>
+          val sb = new StringBuilder
+          var w = 0
+          val nw = r.nextInt(200)
+          while (w < nw && sb.length < 2000) {
+            sb.append(graft.spark.TranscriptGen.Vocab(r.nextInt(2048))).append(' ')
+            w += 1
+          }
+          sb.result().getBytes
+        }
+        val tool = strCol(i => s"tool-${r.nextInt(30)}".getBytes)
+        val ts = { val c = new ColVec(n); c.longs = Array.tabulate(n)(i => 1735689600000000L + r.nextInt(1 << 30).toLong); c }
+        v.children = Array(conv, turn, role, text, tool, ts)
+        v
+      })
+    }
+    def run(k: Int): (Double, Double) = {
+      val data = Array.tabulate(k)(batchesFor)
+      val cpuBean = java.lang.management.ManagementFactory.getThreadMXBean
+      val cpus = new java.util.concurrent.atomic.AtomicLong
+      val t0 = System.nanoTime()
+      val threads = Array.tabulate(k) { tid =>
+        val th = new Thread(() => {
+          val c0 = cpuBean.getCurrentThreadCpuTime
+          var rep = 0
+          while (rep < 2) { // ~500k turns per thread
+            val w = new MothFileWriter(java.io.OutputStream.nullOutputStream(),
+              schema, CompressionKind.ZLIB)
+            data(tid).foreach(w.write)
+            w.close()
+            rep += 1
+          }
+          cpus.addAndGet(cpuBean.getCurrentThreadCpuTime - c0)
+        })
+        th.start(); th
+      }
+      threads.foreach(_.join())
+      ((System.nanoTime() - t0) / 1e9, cpus.get / 1e9)
+    }
+    run(2) // JIT warmup
+    for (k <- Seq(2, maxThreads)) {
+      val (wall, cpu) = run(k)
+      val turns = k * 2L * 245 * 1024
+      println(f"purecore k=$k wall=$wall%.2fs cpuTotal=$cpu%.1fs cpuPerTurn=${cpu * 1e9 / turns}%.0fns turnsPerSec=${turns / wall}%.0f")
+    }
   }
 
   /** Decode a MOTH directory via MothSpark.readFiles and check the per-turn
