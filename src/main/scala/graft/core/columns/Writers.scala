@@ -89,6 +89,9 @@ final case class WriterOpts(
     bloomColumns: Set[String] = Set.empty,
     fsstEnabled: Boolean = true,
     compressionChunkSize: Int = 256 * 1024,
+    // Footer UserMetadataItems (MothWriter.go:33,70-72); the writer adds
+    // its version key like the reference's MOTHDB_MOTH_WRITER_VERSION
+    userMetadata: Map[String, String] = Map.empty,
     codec: graft.core.compress.CompressionKind.Value = graft.core.compress.CompressionKind.ZLIB
 ) {
   def bloomFor(path: String): Option[BloomSpec] =

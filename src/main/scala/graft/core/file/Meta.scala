@@ -21,7 +21,8 @@ object Meta {
       footerLength: Long, numberOfRows: Long)
   final case class FooterMsg(headerLength: Long, contentLength: Long,
       stripes: Seq[StripeInfo], types: Seq[TypeMsg], numberOfRows: Long,
-      statistics: Seq[ColStats], rowIndexStride: Int)
+      statistics: Seq[ColStats], rowIndexStride: Int,
+      userMetadata: Map[String, Array[Byte]] = Map.empty)
   final case class TypeMsg(kind: Int, subtypes: Seq[Int], fieldNames: Seq[String],
       maximumLength: Int = 0, precision: Int = 0, scale: Int = 0)
   final case class PostScriptMsg(footerLength: Long, compression: Int,
@@ -379,6 +380,12 @@ object Meta {
       if (t.scale != 0) Pb.writeVarint(m, 6, t.scale.toLong)
       Pb.writeMessage(b, 4, m)
     }
+    f.userMetadata.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      val m = new ByteBuf(16 + k.length + v.length)
+      Pb.writeString(m, 1, k)
+      Pb.writeBytes(m, 2, v)
+      Pb.writeMessage(b, 5, m)
+    }
     Pb.writeVarint(b, 6, f.numberOfRows)
     f.statistics.foreach(s => Pb.writeMessage(b, 7, writeColStats(s)))
     Pb.writeVarint(b, 8, f.rowIndexStride.toLong)
@@ -395,6 +402,7 @@ object Meta {
     var numberOfRows = 0L
     val stats = new ArrayBuffer[ColStats]
     var stride = 0
+    val userMeta = new ArrayBuffer[(String, Array[Byte])]
     r.foreachField {
       case (1, _) => headerLength = r.readVarint()
       case (2, _) => contentLength = r.readVarint()
@@ -427,13 +435,23 @@ object Meta {
           case (_, w) => m.skipField(w)
         }
         types += TypeMsg(kind, subtypes.map(_.toInt).toSeq, names.toSeq, maxLen, prec, scale)
+      case (5, _) =>
+        val m = r.readMessage()
+        var k = ""
+        var v = Array.empty[Byte]
+        m.foreachField {
+          case (1, _) => k = m.readString()
+          case (2, _) => v = m.readBytes()
+          case (_, w) => m.skipField(w)
+        }
+        userMeta += ((k, v))
       case (6, _) => numberOfRows = r.readVarint()
       case (7, _) => stats += readColStats(r.readMessage())
       case (8, _) => stride = r.readVarint().toInt
       case (_, w) => r.skipField(w)
     }
     FooterMsg(headerLength, contentLength, stripes.toSeq, types.toSeq,
-      numberOfRows, stats.toSeq, stride)
+      numberOfRows, stats.toSeq, stride, userMeta.toMap)
   }
 
   /** Metadata = per-stripe StripeStatistics{repeated colStats}. */

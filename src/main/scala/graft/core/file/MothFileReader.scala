@@ -110,6 +110,8 @@ final class MothFileReader(src: ByteSource) {
   }
   def rowCount: Long = footer.numberOfRows
   def fileStats: Seq[ColStats] = footer.statistics
+  def userMetadata: Map[String, String] =
+    footer.userMetadata.map { case (k, v) => k -> new String(v, "UTF-8") }
 
   /** Column ids of a top-level field subtree, for projection. */
   private lazy val fieldColumnRanges: Seq[(String, Range)] = {

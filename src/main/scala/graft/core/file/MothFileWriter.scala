@@ -166,9 +166,11 @@ final class MothFileWriter(out: OutputStream, schema: MothType.TStruct,
     val fileStats = (0 until nCols).map { c =>
       ColStats.mergeAll(stripeStatsList.map(_(c)))
     }
+    val userMeta = (opts.userMetadata + ("graft.writer.version" -> "1"))
+      .map { case (k, v) => k -> v.getBytes("UTF-8") }
     val footer = Meta.FooterMsg(Meta.Magic.length.toLong, contentLength,
       stripeInfos.toSeq, Meta.flattenTypes(schema), fileRows, fileStats,
-      opts.rowGroupMaxRowCount)
+      opts.rowGroupMaxRowCount, userMeta)
     val footerCompressed = compressBuf(Meta.writeFooter(footer))
     writeBytes(footerCompressed)
     val ps = Meta.PostScriptMsg(footerCompressed.length.toLong, compression.id,

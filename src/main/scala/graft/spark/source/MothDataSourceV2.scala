@@ -73,10 +73,11 @@ class MothTable(path: String, tableSchema: StructType) extends Table with Suppor
     java.util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new MothScanBuilder(path, tableSchema)
+    new MothScanBuilder(path, tableSchema,
+      Option(options.get("maxPartitionBytes")).map(_.toLong).getOrElse(128L << 20))
 }
 
-class MothScanBuilder(path: String, fullSchema: StructType)
+class MothScanBuilder(path: String, fullSchema: StructType, maxPartitionBytes: Long = 128L << 20)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var required: StructType = fullSchema
@@ -97,7 +98,8 @@ class MothScanBuilder(path: String, fullSchema: StructType)
 
   override def build(): Scan =
     new MothScan(path, required,
-      StatsPredicate(pushed.flatMap(f => MothFilters.toPreds(fullSchema, f)).toSeq))
+      StatsPredicate(pushed.flatMap(f => MothFilters.toPreds(fullSchema, f)).toSeq),
+      maxPartitionBytes)
 }
 
 /** Spark Filter → engine ColPredicate (conservative subset). */
@@ -136,7 +138,8 @@ object MothFilters {
   }
 }
 
-class MothScan(path: String, required: StructType, predicate: StatsPredicate)
+class MothScan(path: String, required: StructType, predicate: StatsPredicate,
+    maxPartitionBytes: Long = 128L << 20)
     extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
@@ -145,8 +148,39 @@ class MothScan(path: String, required: StructType, predicate: StatsPredicate)
     s"MothScan(path=$path, cols=${required.fieldNames.mkString(",")}, " +
       s"preds=${predicate.preds.size})"
 
-  override def planInputPartitions(): Array[InputPartition] =
-    MothTable.listFiles(path).map(MothInputPartition(_)).toArray
+  /** One partition per ~128MB of stripes: large files split by stripe
+    * ranges (a stripe belongs to the split owning its first byte —
+    * MothRecordReader.go splitContainsStripe), small files stay whole.
+    * At 100TB this is what fans a few thousand files out to every core.
+    */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val targetBytes = maxPartitionBytes
+    MothTable.listFiles(path).flatMap { f =>
+      val rd = MothFileReader.fromPath(f)
+      try {
+        val stripes = rd.footer.stripes
+        if (stripes.isEmpty) Seq(MothInputPartition(f, 0L, Long.MaxValue))
+        else {
+          val groups = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+          var start = stripes.head.offset
+          var acc = 0L
+          var end = start
+          stripes.foreach { s =>
+            val len = s.indexLength + s.dataLength + s.footerLength
+            if (acc > 0 && acc + len > targetBytes) {
+              groups += ((start, end))
+              start = s.offset
+              acc = 0
+            }
+            acc += len
+            end = s.offset + len
+          }
+          groups += ((start, Long.MaxValue)) // last split owns the tail
+          groups.map { case (s, e) => MothInputPartition(f, s, e) }
+        }
+      } finally rd.close()
+    }.toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     MothReaderFactory(required, predicate)
@@ -172,24 +206,27 @@ class MothScan(path: String, required: StructType, predicate: StatsPredicate)
   }
 }
 
-case class MothInputPartition(file: String) extends InputPartition
+case class MothInputPartition(file: String, start: Long, end: Long)
+    extends InputPartition
 
 case class MothReaderFactory(required: StructType, predicate: StatsPredicate)
     extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new MothPartitionReader(partition.asInstanceOf[MothInputPartition].file,
-      required, predicate)
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[MothInputPartition]
+    new MothPartitionReader(p, required, predicate)
+  }
 }
 
-class MothPartitionReader(file: String, required: StructType,
+class MothPartitionReader(part: MothInputPartition, required: StructType,
     predicate: StatsPredicate) extends PartitionReader[InternalRow] {
-  private val reader = MothFileReader.fromPath(file)
+  private val reader = MothFileReader.fromPath(part.file)
   private val rows: Iterator[InternalRow] = reader
     .batches(
       includedFields =
         if (required.isEmpty) Some(Seq(reader.schema.fields.head._1))
         else Some(required.fieldNames.toSeq),
-      predicate = predicate)
+      predicate = predicate,
+      split = Some((part.start, part.end)))
     .flatMap { v =>
       if (required.isEmpty) {
         // COUNT(*)-style scan: only row positions matter

@@ -447,6 +447,21 @@ class FileSpec extends AnyFunSuite {
     assert(out.map(_.len).sum == batches * rowsPer)
   }
 
+  test("user metadata round-trips through the footer") {
+    val schema = TStruct(Seq("x" -> TLong))
+    val bos = new ByteArrayOutputStream()
+    val w = new MothFileWriter(bos, schema, CompressionKind.ZLIB,
+      WriterOpts(userMetadata = Map("pipeline" -> "graft-test", "snapshot" -> "s-42")))
+    val v = new ColVec(10)
+    v.children = Array({ val c = new ColVec(10); c.longs = Array.tabulate(10)(_.toLong); c })
+    w.write(v)
+    w.close()
+    val rd = MothFileReader.fromBytes(bos.toByteArray)
+    assert(rd.userMetadata("pipeline") == "graft-test")
+    assert(rd.userMetadata("snapshot") == "s-42")
+    assert(rd.userMetadata.contains("graft.writer.version"))
+  }
+
   test("timestamp encodeNanos golden table") {
     import TimestampColumnWriter._
     // reference comment rows (TimestampColumnWriter.go:42-51)

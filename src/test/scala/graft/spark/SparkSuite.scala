@@ -87,6 +87,25 @@ class SparkSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(stats.sizeInBytes > 0)
   }
 
+  test("DataSourceV2: stripe-range splits cover every row exactly once") {
+    val d = tmpDir()
+    // tiny stripes => many stripes per file, tiny maxPartitionBytes => splits
+    val df = TranscriptGen.transcripts(spark, 30000, seed = 5L, partitions = 2)
+    MothSpark.writeFiles(df, d, "split-test",
+      graft.core.compress.CompressionKind.ZLIB,
+      graft.core.columns.WriterOpts(
+        stripeMinBytes = 1 << 16, stripeMaxBytes = 1 << 17,
+        rowGroupMaxRowCount = 1000))
+    val whole = spark.read.format("moth").load(d)
+    val split = spark.read.format("moth").option("maxPartitionBytes", (1 << 17).toString).load(d)
+    assert(split.rdd.getNumPartitions > whole.rdd.getNumPartitions,
+      s"expected more split partitions (${split.rdd.getNumPartitions}) than files (${whole.rdd.getNumPartitions})")
+    assert(split.count() == whole.count())
+    val a = whole.orderBy("conv_id", "turn_idx").collect()
+    val b = split.orderBy("conv_id", "turn_idx").collect()
+    a.zip(b).foreach { case (x, y) => assert(x == y) }
+  }
+
   test("transcripts roundtrip: per-turn text equality under stable ordering") {
     val df = TranscriptGen.transcripts(spark, 30000, seed = 42L, partitions = 4)
     val back = MothSpark.roundtrip(df, CompressionKind.ZLIB)
