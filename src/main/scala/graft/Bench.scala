@@ -199,16 +199,21 @@ object Bench {
     // Between pairs, poll the same membw probe in-process and hold off
     // while the host is loud (bounded patience — a fully stormy session
     // still completes and reports its noise context).
-    var rollingMin = Long.MaxValue
-    def waitForQuiet(): Unit = {
-      var polls = 0
-      var c = BenchChild.calibrate()
-      rollingMin = math.min(rollingMin, c)
-      while (c > rollingMin * 1.2 && polls < 10) {
-        Thread.sleep(20000)
-        c = BenchChild.calibrate()
-        rollingMin = math.min(rollingMin, c)
-        polls += 1
+    // Storms last 30-120min with 5-10min quiet gaps; a pair takes ~3min, so
+    // pairs MUST launch at a gap's start. Poll both probes and hold until
+    // both sit near their session floors — waiting is cheaper than burning
+    // a pair into a storm (bounded by the deadline the caller passes).
+    var minMem = Long.MaxValue
+    var minAlu = Long.MaxValue
+    def waitForQuiet(deadlineNanos: Long): Unit = {
+      var quietStreak = 0
+      while (quietStreak < 2 && System.nanoTime() < deadlineNanos) {
+        val m = BenchChild.calibrate()
+        val a = BenchChild.calibrateAlu()
+        minMem = math.min(minMem, m)
+        minAlu = math.min(minAlu, a)
+        if (m <= minMem * 1.15 && a <= minAlu * 1.15) quietStreak += 1
+        else { quietStreak = 0; Thread.sleep(15000) }
       }
     }
     // Budget-based looping: noise only ever ADDS time, so min-over-trials
@@ -231,7 +236,9 @@ object Bench {
     while (i < maxTrials && (i < 2 ||
         (elapsed < budgetSec && !(converged(trialsN) && converged(trials4N))))) {
       i += 1
-      waitForQuiet()
+      // allow waiting up to 70% of remaining budget for a quiet gap
+      waitForQuiet(System.nanoTime() +
+        (math.max(0.0, budgetSec - elapsed) * 0.7 * 1e9).toLong)
       val (a, b) =
         if (concurrent) concurrentPair(scaleN, benchTurns, s"$tmp/pN$i", s"$tmp/p4N$i", parts)
         else (encodeRun(scaleN, benchTurns, s"$tmp/pN$i", parts),

@@ -183,14 +183,15 @@ object TextOps {
     * path. Double math, rounded to 4 dp for cross-engine determinism.
     */
   def cosineTopK(spark: SparkSession, emb: DataFrame, nQueries: Int = 5, k: Int = 5): DataFrame = {
-    val q = emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    // hoist norms: computed once per row / per query, not once per pair
+    val norm = "sqrt(aggregate(%s, 0D, (a, v) -> a + cast(v AS double) * cast(v AS double)))"
+    val nemb = emb.withColumn("nrm", expr(norm.format("embedding")))
+    val q = nemb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qnrm"))
     val dot = "aggregate(zip_with(embedding, qe, (x, y) -> cast(x AS double) * cast(y AS double)), 0D, (a, v) -> a + v)"
-    val n1 = "sqrt(aggregate(embedding, 0D, (a, v) -> a + cast(v AS double) * cast(v AS double)))"
-    val n2 = "sqrt(aggregate(qe, 0D, (a, v) -> a + cast(v AS double) * cast(v AS double)))"
-    val sims = emb.crossJoin(broadcast(q))
+    val sims = nemb.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("qid"))
-      .withColumn("sim", round(expr(s"$dot / ($n1 * $n2)"), 4))
+      .withColumn("sim", round(expr(dot) / (col("nrm") * col("qnrm")), 4))
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
     sims.withColumn("rn", row_number().over(w))
