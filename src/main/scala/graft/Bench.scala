@@ -203,8 +203,12 @@ object Bench {
     // pairs MUST launch at a gap's start. Poll both probes and hold until
     // both sit near their session floors — waiting is cheaper than burning
     // a pair into a storm (bounded by the deadline the caller passes).
-    var minMem = Long.MaxValue
-    var minAlu = Long.MaxValue
+    // Absolute quiet-floor hints, measured on this host class (a session
+    // that opens inside a storm would otherwise mistake "stable storm" for
+    // quiet). Session minima can only tighten them; the deadline bounds the
+    // wait if the floor is never reached (e.g. different hardware).
+    var minMem = sys.env.getOrElse("SPARK_GRAFT_FLOOR_MEM", "220").toLong
+    var minAlu = sys.env.getOrElse("SPARK_GRAFT_FLOOR_ALU", "265").toLong
     def waitForQuiet(deadlineNanos: Long): Unit = {
       var quietStreak = 0
       while (quietStreak < 2 && System.nanoTime() < deadlineNanos) {

@@ -15,7 +15,7 @@ import graft.spark.SparkBridge._
   * encoder instance per task.
   */
 object MothSpark {
-  val BatchSize = 1024
+  val BatchSize: Int = sys.env.getOrElse("GRAFT_BATCH_SIZE", "1024").toInt
 
   /** Encode an iterator of rows into `out`; the caller owns the stream. */
   def encodeRows(schema: StructType, rows: Iterator[Row], out: java.io.OutputStream,
