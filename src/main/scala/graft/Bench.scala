@@ -232,10 +232,16 @@ object Bench {
       val q = quiet(ts).map(_.secs)
       q.nonEmpty && q.count(_ <= q.min * 1.03) >= 2
     }
-    // concurrent pinned pairs are the default scaling evidence (the ratio
-    // within one pair is noise-invariant); sequential interleaved trials
-    // via SPARK_GRAFT_CONCURRENT=0
-    val concurrent = sys.env.getOrElse("SPARK_GRAFT_CONCURRENT", "1") == "1"
+    // SEQUENTIAL quiet-gated trials are the default scaling evidence.
+    // Concurrent pinned pairs (SPARK_GRAFT_CONCURRENT=1) make the ratio
+    // noise-invariant but introduce SELF-interference: the 4N child needs
+    // ~4x the memory bandwidth to scale, and co-running with the N child
+    // depresses exactly that — measured quiet-host pair efficiency ~0.72 vs
+    // sequential quiet 0.88-0.90 for the same build. A real N-vs-4N cluster
+    // comparison never runs both clusters on the same metal, so the
+    // sequential quiet-window minimum is the honest analog; pair mode is
+    // kept as a storm-floor cross-check.
+    val concurrent = sys.env.getOrElse("SPARK_GRAFT_CONCURRENT", "0") == "1"
     var i = 0
     while (i < maxTrials && (i < 2 ||
         (elapsed < budgetSec && !(converged(trialsN) && converged(trials4N))))) {
@@ -308,8 +314,16 @@ object Bench {
            "noise-invariant; the quietest pair is reported, median pair " +
            f"efficiency across ${pairs.size} pairs = $medianPairEff%.3f"
          else
-           "sequential interleaved trials; per-level minimum over " +
-           "calibration-quiet trials"}.
+           "SEQUENTIAL QUIET-GATED trials — each level runs alone in its " +
+           "own child JVM, trials interleave N/4N, a trial is quiet iff " +
+           "its concurrent membw+ALU probes sit within 25% of the session " +
+           "floor, and the per-level minimum over quiet trials is " +
+           "reported (noise only ever adds time, so the quiet minimum " +
+           "estimates the unloaded-host wall). Concurrent pinned pairs " +
+           "(SPARK_GRAFT_CONCURRENT=1) are kept as a cross-check but bias " +
+           "the ratio DOWN ~0.15-0.2: the 4N child needs ~4x the memory " +
+           "bandwidth to scale and co-running with the N child depresses " +
+           f"exactly that (median pair eff this session $medianPairEff%.3f)"}.
          |Host ceiling (parallel sha256): 2->8 cores 0.93, 4->16 cores 0.82,
          |8->32 cores 0.78 — the engine is measured in the 2->8 regime where
          |the hardware itself scales.

@@ -132,6 +132,11 @@ final class ZlibCodec extends Codec {
     while (!inf.finished()) {
       val n = inf.inflate(dst, total, dst.length - total)
       if (n == 0 && inf.needsInput()) throw new java.io.EOFException("truncated zlib chunk")
+      // a corrupt/foreign chunk inflating past the scratch buffer returns 0
+      // with no input needed forever — fail instead of spinning
+      if (n == 0 && !inf.needsInput())
+        throw new java.io.IOException(
+          s"zlib chunk inflates past buffer (${dst.length} bytes) — corrupt or oversized chunk")
       total += n
     }
     total

@@ -10,27 +10,73 @@ import scala.collection.mutable.ArrayBuffer
   * the stripes a split owns are ever read.
   */
 trait ByteSource {
+  /** Bytes fetched so far — the IO-efficiency observable (analog of the
+    * reference's MothDataSource.GetReadBytes).
+    */
+  final var bytesRead: Long = 0L
   def size: Long
-  def read(pos: Long, len: Int): Array[Byte]
+  protected def readImpl(pos: Long, len: Int): Array[Byte]
+  final def read(pos: Long, len: Int): Array[Byte] = {
+    bytesRead += len
+    readImpl(pos, len)
+  }
   def close(): Unit = ()
 }
 
 final class ArraySource(bytes: Array[Byte]) extends ByteSource {
   def size: Long = bytes.length.toLong
-  def read(pos: Long, len: Int): Array[Byte] =
+  protected def readImpl(pos: Long, len: Int): Array[Byte] =
     java.util.Arrays.copyOfRange(bytes, pos.toInt, pos.toInt + len)
 }
 
 final class FileSource(path: String) extends ByteSource {
   private val raf = new java.io.RandomAccessFile(path, "r")
   def size: Long = raf.length()
-  def read(pos: Long, len: Int): Array[Byte] = {
+  protected def readImpl(pos: Long, len: Int): Array[Byte] = {
     val out = new Array[Byte](len)
     raf.seek(pos)
     raf.readFully(out)
     out
   }
   override def close(): Unit = raf.close()
+}
+
+/** Read-path tuning, mirroring the reference's MothReaderOptions defaults
+  * (/root/reference/pkg/store/MothReaderOptions.go:6-14): stream ranges
+  * closer than maxMergeDistance coalesce into one read, merged reads are
+  * capped at maxReadSize, and stripes at or under tinyStripeThreshold are
+  * fetched in a single read (per-stream seeks would cost more than the
+  * skipped bytes).
+  */
+final case class ReaderOpts(
+    maxMergeDistance: Long = 1L << 20,
+    maxReadSize: Long = 8L << 20,
+    tinyStripeThreshold: Long = 8L << 20)
+
+object DiskRanges {
+  /** Coalesce sorted (offset, length) ranges whose gap is ≤ maxMergeDistance
+    * while a merged read stays ≤ maxReadSize — the reference's
+    * MergeAdjacentDiskRanges (MothDataSourceUtils.go:10-31).
+    */
+  def merge(ranges: Seq[(Long, Long)], maxMergeDistance: Long,
+      maxReadSize: Long): Seq[(Long, Long)] = {
+    if (ranges.isEmpty) return Nil
+    val sorted = ranges.sortBy(_._1)
+    val out = ArrayBuffer[(Long, Long)]()
+    var (start, len) = sorted.head
+    for ((o, l) <- sorted.tail) {
+      val end = o + l
+      if (len <= maxReadSize && o <= start + len + maxMergeDistance) {
+        len = math.max(len, end - start)
+      } else {
+        out += ((start, len))
+        start = o
+        len = l
+      }
+    }
+    out += ((start, len))
+    out.toSeq
+  }
 }
 
 /** Stats predicate — the reference's only filter abstraction
@@ -81,8 +127,11 @@ object StatsPredicate {
   * file/stripe/row-group stats + bloom pruning per MothRecordReader.go and
   * StripeReader.go:272-293.
   */
-final class MothFileReader(src: ByteSource) {
+final class MothFileReader(src: ByteSource, opts: ReaderOpts = ReaderOpts()) {
   import MothFileReader._
+
+  /** IO bytes fetched so far (tail + stripes). */
+  def bytesRead: Long = src.bytesRead
 
   val (postScript, footer, stripeStatsPerStripe) = {
     val tailLen = math.min(src.size, 16384L).toInt
@@ -155,28 +204,59 @@ final class MothFileReader(src: ByteSource) {
 
   private def readStripe(stripe: Meta.StripeInfo, projected: MothType.TStruct,
       includedIds: Set[Int], predicate: StatsPredicate, batchSize: Int): Iterator[ColVec] = {
-    val stripeBytes = src.read(stripe.offset,
-      (stripe.indexLength + stripe.dataLength + stripe.footerLength).toInt)
-    val sfOff = (stripe.indexLength + stripe.dataLength).toInt
-    val sf = Meta.readStripeFooter(Chunked.decompress(compression, stripeBytes, sfOff,
+    // stripe footer first: it tells WHERE each stream lives, so IO can be
+    // restricted to the projected columns' byte ranges (the reference's
+    // ReadFully2/DiskRange path) instead of the whole stripe
+    val sfRaw = src.read(stripe.offset + stripe.indexLength + stripe.dataLength,
+      stripe.footerLength.toInt)
+    val sf = Meta.readStripeFooter(Chunked.decompress(compression, sfRaw, 0,
       stripe.footerLength.toInt, postScript.compressionBlockSize.toInt))
 
-    // locate streams
+    // index streams (ROW_INDEX / bloom) are only useful when there is a
+    // predicate to prune with — never fetch them for a plain scan
+    val needIndex = predicate.preds.nonEmpty
+
+    // locate wanted streams: (column, kind, offset-in-stripe, length)
     var pos = 0L
+    val wanted = ArrayBuffer[(Int, Int, Long, Long)]()
+    sf.streams.foreach { s =>
+      val isIndex = s.kind == StreamKind.RowIndex || s.kind == StreamKind.BloomFilterUtf8
+      if (includedIds.contains(s.column) && (!isIndex || needIndex))
+        wanted += ((s.column, s.kind, pos, s.length))
+      pos += s.length
+    }
+
+    // fetch plan: tiny stripes in one read (seeks would cost more than the
+    // skipped bytes), larger stripes via merged ranged reads of only the
+    // wanted streams (≤1MB gaps coalesce, reads capped at 8MB)
+    val stripeBodyLen = stripe.indexLength + stripe.dataLength
+    val locate: (Long, Long) => (Array[Byte], Int) =
+      if (stripeBodyLen <= opts.tinyStripeThreshold) {
+        val whole = src.read(stripe.offset, stripeBodyLen.toInt)
+        (off, _) => (whole, off.toInt)
+      } else {
+        val merged = DiskRanges.merge(wanted.map(w => (w._3, w._4)).toSeq,
+          opts.maxMergeDistance, opts.maxReadSize)
+        val bufs = merged.map { case (o, l) => (o, l, src.read(stripe.offset + o, l.toInt)) }
+        (off, len) => {
+          val (o, _, buf) = bufs.find(b => off >= b._1 && off + len <= b._1 + b._2)
+            .getOrElse(sys.error(s"stream range [$off,+$len) not covered by fetch plan"))
+          (buf, (off - o).toInt)
+        }
+      }
+
     val streamMap = scala.collection.mutable.Map[(Int, Int), Array[Byte]]()
     val rowIndexRaw = scala.collection.mutable.Map[Int, Array[Byte]]()
     val bloomRaw = scala.collection.mutable.Map[Int, Array[Byte]]()
-    sf.streams.foreach { s =>
-      if (includedIds.contains(s.column)) {
-        lazy val bytes = Chunked.decompress(compression, stripeBytes, pos.toInt,
-          s.length.toInt, postScript.compressionBlockSize.toInt)
-        s.kind match {
-          case StreamKind.RowIndex => rowIndexRaw(s.column) = bytes
-          case StreamKind.BloomFilterUtf8 => bloomRaw(s.column) = bytes
-          case k => streamMap((s.column, k)) = bytes
-        }
+    wanted.foreach { case (column, kind, off, len) =>
+      val (buf, bufOff) = locate(off, len)
+      val bytes = Chunked.decompress(compression, buf, bufOff, len.toInt,
+        postScript.compressionBlockSize.toInt)
+      kind match {
+        case StreamKind.RowIndex => rowIndexRaw(column) = bytes
+        case StreamKind.BloomFilterUtf8 => bloomRaw(column) = bytes
+        case k => streamMap((column, k)) = bytes
       }
-      pos += s.length
     }
     val encodings = sf.columns.zipWithIndex.map { case (e, c) => c -> e }.toMap
     val streams = new StripeStreams(streamMap.toMap, encodings)
@@ -184,10 +264,12 @@ final class MothFileReader(src: ByteSource) {
     // row-group selection
     val stride = math.max(footer.rowIndexStride, 1)
     val nGroups = ((stripe.numberOfRows + stride - 1) / stride).toInt
+    val perColEntries: Map[Int, Seq[RowGroupIndexEntry]] =
+      if (predicate.preds.isEmpty || nGroups <= 1) Map.empty
+      else rowIndexRaw.map { case (c, b) => c -> Meta.readRowIndex(b) }.toMap
     val selected: Array[Boolean] =
       if (predicate.preds.isEmpty || nGroups <= 1) Array.fill(math.max(nGroups, 1))(true)
       else {
-        val perColEntries = rowIndexRaw.map { case (c, b) => c -> Meta.readRowIndex(b) }
         val perColBlooms = bloomRaw.map { case (c, b) => c -> Meta.readBloomIndex(b) }
         Array.tabulate(nGroups) { g =>
           predicate.matches(columnIdOf,
@@ -196,25 +278,34 @@ final class MothFileReader(src: ByteSource) {
         }
       }
 
+    // checkpoint seeks need every included column's ROW_INDEX for every group
+    // (root struct id 0 included); decode-skip is the fallback
+    val canSeek = includedIds.forall(c =>
+      perColEntries.get(c).exists(_.lengthCompare(nGroups) >= 0))
+
     val reader = buildProjectedReader(projected, includedIds)
     reader.startStripe(streams)
 
     new Iterator[ColVec] {
       private var group = 0
       private var rowInGroup = 0L
-      private var rowsLeftTotal = stripe.numberOfRows
       advance()
 
       private def groupRows(g: Int): Long =
         math.min(stride.toLong, stripe.numberOfRows - g.toLong * stride)
 
       private def advance(): Unit = {
+        val from = group
         while (group < nGroups && !selected(group)) {
-          val n = groupRows(group)
-          reader.skip(n)
-          rowsLeftTotal -= n
           group += 1
           rowInGroup = 0
+        }
+        if (group > from && group < nGroups) {
+          if (canSeek) reader.seek(c => perColEntries(c)(group).positions)
+          else {
+            var g = from
+            while (g < group) { reader.skip(groupRows(g)); g += 1 }
+          }
         }
       }
 
@@ -224,7 +315,6 @@ final class MothFileReader(src: ByteSource) {
         val n = math.min(batchSize.toLong, remainingInGroup).toInt
         val v = reader.read(n)
         rowInGroup += n
-        rowsLeftTotal -= n
         if (rowInGroup >= groupRows(group)) { group += 1; rowInGroup = 0; advance() }
         v
       }
@@ -245,6 +335,8 @@ final class MothFileReader(src: ByteSource) {
 }
 
 object MothFileReader {
-  def fromBytes(bytes: Array[Byte]): MothFileReader = new MothFileReader(new ArraySource(bytes))
-  def fromPath(path: String): MothFileReader = new MothFileReader(new FileSource(path))
+  def fromBytes(bytes: Array[Byte], opts: ReaderOpts = ReaderOpts()): MothFileReader =
+    new MothFileReader(new ArraySource(bytes), opts)
+  def fromPath(path: String, opts: ReaderOpts = ReaderOpts()): MothFileReader =
+    new MothFileReader(new FileSource(path), opts)
 }

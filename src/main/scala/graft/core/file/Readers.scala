@@ -12,15 +12,29 @@ final class StripeStreams(streams: Map[(Int, Int), Array[Byte]],
   def encoding(col: Int): ColumnEncoding = encodings.getOrElse(col, ColumnEncoding(0))
 }
 
+/** Hands out one ROW_INDEX entry's position values in writer emission order
+  * — the reference's PositionProvider (pkg/store/Checkpoints.go:10-40).
+  */
+final class PositionCursor(positions: Array[Long]) {
+  private var i = 0
+  def next(): Long = { val v = positions(i); i += 1; v }
+}
+
 /** Streaming column decoder — mirror of the writers; role analog of the
   * reference's ColumnReaders (/root/reference/pkg/store/ColumnReaders.go).
-  * skip() decodes-and-discards (cheap for RLE) — used for row-group pruning.
+  * skip() decodes-and-discards (cheap for RLE); seek() jumps every stream
+  * of the subtree to a row-group checkpoint so skipped groups cost no
+  * decode at all (reference StripeReader.go:182-215 + Checkpoints.go).
   */
 trait ColumnReader {
   def columnId: Int
   def startStripe(s: StripeStreams): Unit
   def read(n: Int): ColVec
   def skip(n: Long): Unit
+  /** entryOf(columnId) = that column's ROW_INDEX positions for the target
+    * row group; position layout mirrors the writer's checkpoint order.
+    */
+  def seek(entryOf: Int => Array[Long]): Unit
 }
 
 object ColumnReader {
@@ -87,6 +101,16 @@ abstract class PrimitiveColumnReader(val columnId: Int) extends ColumnReader {
     }
     nonNull
   }
+
+  final def seek(entryOf: Int => Array[Long]): Unit = {
+    val pc = new PositionCursor(entryOf(columnId))
+    if (present != null) present.seek(pc.next(), pc.next())
+    seekValues(pc)
+  }
+  /** Position the value streams; consumes this column's remaining positions
+    * in the writer's dataCheckpoint order.
+    */
+  protected def seekValues(pc: PositionCursor): Unit
 }
 
 final class LongColumnReader(id: Int) extends PrimitiveColumnReader(id) {
@@ -108,6 +132,7 @@ final class LongColumnReader(id: Int) extends PrimitiveColumnReader(id) {
     v
   }
   def skip(n: Long): Unit = data.skip(skipPresent(n))
+  protected def seekValues(pc: PositionCursor): Unit = data.seek(pc.next(), pc.next())
 }
 
 final class ByteColumnReader(id: Int) extends PrimitiveColumnReader(id) {
@@ -126,6 +151,7 @@ final class ByteColumnReader(id: Int) extends PrimitiveColumnReader(id) {
     v
   }
   def skip(n: Long): Unit = data.skip(skipPresent(n))
+  protected def seekValues(pc: PositionCursor): Unit = data.seek(pc.next(), pc.next())
 }
 
 final class BoolColumnReader(id: Int) extends PrimitiveColumnReader(id) {
@@ -145,6 +171,7 @@ final class BoolColumnReader(id: Int) extends PrimitiveColumnReader(id) {
     v
   }
   def skip(n: Long): Unit = data.skip(skipPresent(n))
+  protected def seekValues(pc: PositionCursor): Unit = data.seek(pc.next(), pc.next())
 }
 
 final class DoubleColumnReader(id: Int) extends PrimitiveColumnReader(id) {
@@ -164,6 +191,7 @@ final class DoubleColumnReader(id: Int) extends PrimitiveColumnReader(id) {
     v
   }
   def skip(n: Long): Unit = data.skip((skipPresent(n) * 8).toInt)
+  protected def seekValues(pc: PositionCursor): Unit = data.pos = pc.next().toInt
 }
 
 final class FloatColumnReader(id: Int) extends PrimitiveColumnReader(id) {
@@ -183,6 +211,7 @@ final class FloatColumnReader(id: Int) extends PrimitiveColumnReader(id) {
     v
   }
   def skip(n: Long): Unit = data.skip((skipPresent(n) * 4).toInt)
+  protected def seekValues(pc: PositionCursor): Unit = data.pos = pc.next().toInt
 }
 
 final class TimestampColumnReader(id: Int) extends PrimitiveColumnReader(id) {
@@ -212,6 +241,10 @@ final class TimestampColumnReader(id: Int) extends PrimitiveColumnReader(id) {
   def skip(n: Long): Unit = {
     val k = skipPresent(n)
     seconds.skip(k); nanos.skip(k)
+  }
+  protected def seekValues(pc: PositionCursor): Unit = {
+    seconds.seek(pc.next(), pc.next())
+    nanos.seek(pc.next(), pc.next())
   }
 }
 
@@ -255,6 +288,9 @@ final class DecimalColumnReader(id: Int, precision: Int) extends PrimitiveColumn
       i += 1
     }
   }
+  // positions: (data byte offset, scale-stream offset, scale pending) — the
+  // scale stream is written but never read (scale is fixed by the type)
+  protected def seekValues(pc: PositionCursor): Unit = data.pos = pc.next().toInt
 }
 
 /** STRING/VARCHAR/CHAR/BINARY — dispatches DIRECT_V2 | DICTIONARY_V2 |
@@ -343,6 +379,14 @@ final class StringColumnReader(id: Int) extends PrimitiveColumnReader(id) {
       while (i < k) { data.skip(lengths.nextLong().toInt); i += 1 }
     }
   }
+  protected def seekValues(pc: PositionCursor): Unit = {
+    if (mode == EncodingKind.DictionaryV2 || mode == EncodingKind.Dictionary)
+      indices.seek(pc.next(), pc.next())
+    else {
+      lengths.seek(pc.next(), pc.next())
+      data.pos = pc.next().toInt
+    }
+  }
 }
 
 final class ListColumnReader(val columnId: Int, elem: ColumnReader) extends ColumnReader {
@@ -386,6 +430,13 @@ final class ListColumnReader(val columnId: Int, elem: ColumnReader) extends Colu
     var i = 0L
     while (i < nonNull) { elems += lengths.nextLong(); i += 1 }
     elem.skip(elems)
+  }
+
+  def seek(entryOf: Int => Array[Long]): Unit = {
+    val pc = new PositionCursor(entryOf(columnId))
+    if (present != null) present.seek(pc.next(), pc.next())
+    lengths.seek(pc.next(), pc.next())
+    elem.seek(entryOf)
   }
 }
 
@@ -432,6 +483,13 @@ final class MapColumnReader(val columnId: Int, key: ColumnReader, value: ColumnR
     while (i < nonNull) { elems += lengths.nextLong(); i += 1 }
     key.skip(elems); value.skip(elems)
   }
+
+  def seek(entryOf: Int => Array[Long]): Unit = {
+    val pc = new PositionCursor(entryOf(columnId))
+    if (present != null) present.seek(pc.next(), pc.next())
+    lengths.seek(pc.next(), pc.next())
+    key.seek(entryOf); value.seek(entryOf)
+  }
 }
 
 final class StructColumnReader(val columnId: Int, val fields: Seq[ColumnReader])
@@ -470,5 +528,13 @@ final class StructColumnReader(val columnId: Int, val fields: Seq[ColumnReader])
       while (i < n) { if (present.nextBoolean()) nonNull += 1; i += 1 }
     }
     fields.foreach(_.skip(nonNull))
+  }
+
+  def seek(entryOf: Int => Array[Long]): Unit = {
+    if (present != null) {
+      val pc = new PositionCursor(entryOf(columnId))
+      present.seek(pc.next(), pc.next())
+    }
+    fields.foreach(_.seek(entryOf))
   }
 }

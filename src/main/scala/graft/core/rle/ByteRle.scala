@@ -110,6 +110,16 @@ final class ByteRleReader(in: ByteRd) {
     }
   }
 
+  /** Reposition at a writer checkpoint (bytes flushed, values pending): jump
+    * the stream cursor and decode only the in-group remainder.
+    */
+  def seek(off: Long, pending: Long): Unit = {
+    in.pos = off.toInt
+    runLength = 0
+    literalCount = 0
+    skip(pending)
+  }
+
   private def readHeader(): Unit = {
     val control = in.readSignedByte()
     if (control >= 0) { runLength = control + 3; runValue = in.readByte().toByte }
@@ -173,6 +183,14 @@ final class BooleanReader(in: ByteRd) {
       var i = 0L
       while (i < remaining) { nextBoolean(); i += 1 }
     }
+  }
+
+  /** Reposition at a writer checkpoint (bytes flushed, bit-values pending). */
+  def seek(off: Long, pendingBits: Long): Unit = {
+    byteRle.seek(off, 0L)
+    current = 0
+    bitsLeft = 0
+    skip(pendingBits)
   }
 }
 

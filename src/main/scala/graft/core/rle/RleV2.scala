@@ -348,6 +348,22 @@ final class RleV2Reader(in: ByteRd, signed: Boolean) {
   private var chunkLen = 0
   private var chunkPos = 0
 
+  /** Total values decoded from the byte stream (instrumentation: proves
+    * checkpoint seeks avoid decode work, vs decode-and-discard skips).
+    */
+  var valuesDecoded: Long = 0L
+
+  /** Reposition at a writer checkpoint (bytes flushed, values pending in the
+    * encoder buffer at checkpoint time): jump the cursor, reset run state,
+    * decode only the ≤511 pending values.
+    */
+  def seek(off: Long, pending: Long): Unit = {
+    in.pos = off.toInt
+    chunkLen = 0
+    chunkPos = 0
+    skip(pending)
+  }
+
   def next(dst: Array[Long], offset: Int, count: Int): Unit = {
     var produced = 0
     while (produced < count) {
@@ -383,6 +399,8 @@ final class RleV2Reader(in: ByteRd, signed: Boolean) {
       case _               => readDelta(first)
     }
     chunkPos = 0
+    valuesDecoded += chunkLen
+    if (RleV2Reader.instrumented) RleV2Reader.totalDecoded.add(chunkLen.toLong)
   }
 
   private def readShortRepeat(first: Int): Unit = {
@@ -457,4 +475,12 @@ final class RleV2Reader(in: ByteRd, signed: Boolean) {
     while (i < len) { chunk(i) += base; i += 1 }
     chunkLen = len
   }
+}
+
+object RleV2Reader {
+  /** Test/diagnostic hook: when instrumented, every reader accumulates its
+    * decoded-value count here (proves checkpoint seeks skip decode work).
+    */
+  @volatile var instrumented: Boolean = false
+  val totalDecoded = new java.util.concurrent.atomic.LongAdder
 }

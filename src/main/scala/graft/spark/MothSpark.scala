@@ -135,7 +135,11 @@ object MothSpark {
         Iterator.single(pid.toLong)
       } else {
         val file = f"part-$pid%05d.moth"
-        val tmp = new File(outDir, file + ".tmp")
+        // tmp name carries the task ATTEMPT id: concurrent speculative or
+        // zombie attempts for the same partition then write distinct files
+        // and the atomic rename decides the winner (no byte interleaving)
+        val attempt = Option(TaskContext.get()).map(_.taskAttemptId()).getOrElse(0L)
+        val tmp = new File(outDir, file + s".$attempt.tmp")
         val fos = new java.io.BufferedOutputStream(new FileOutputStream(tmp), 1 << 16)
         var firstKey: Option[String] = None
         var lastKey: Option[String] = None
@@ -158,26 +162,13 @@ object MothSpark {
     counts.sorted.toSeq.map(pid => Manifest.read(Manifest.path(outDir, pid.toInt)))
   }
 
-  /** Reads a directory of MOTH files back as a DataFrame (one task per
-    * file; stripe-level split planning would subdivide further on a real
-    * cluster — files here are already partition-sized).
+  /** Reads a directory of MOTH files back as a DataFrame. Delegates to the
+    * DataSourceV2 scan so projection pushdown, stats/bloom pruning,
+    * stripe-range splits and reader lifecycle (close-on-task-end) all apply
+    * — the RDD-based predecessor leaked file handles and read every column.
     */
-  def readFiles(spark: SparkSession, dir: String): DataFrame = {
-    val files = new File(dir).listFiles((_, n) => n.endsWith(".moth")).map(_.getAbsolutePath).sorted
-    require(files.nonEmpty, s"no .moth files in $dir")
-    val schema = {
-      val rd = MothFileReader.fromPath(files.head)
-      val s = toSparkSchema(rd.schema)
-      rd.close()
-      s
-    }
-    val rdd = spark.sparkContext.parallelize(files.toSeq, files.length).flatMap { path =>
-      val rd = MothFileReader.fromPath(path)
-      val sch = toSparkSchema(rd.schema)
-      rd.batches().flatMap(v => vecToRows(sch, v))
-    }
-    spark.createDataFrame(rdd, schema)
-  }
+  def readFiles(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("moth").load(dir)
 }
 
 /** Per-partition lineage record (north rule: input snapshot id, stripe

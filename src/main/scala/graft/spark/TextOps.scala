@@ -133,10 +133,18 @@ object TextOps {
         (b, h, id)
       }
     }.toDF("band", "bucket", "doc_id")
+    // De-skew: drop pathological buckets (all-identical spam) BEFORE any id
+    // list materializes — a count pre-aggregate (map-side partial, tiny
+    // shuffle) inner-joined back, so no task ever builds an array larger
+    // than maxBucket even when one bucket holds millions of ids.
+    val okBuckets = bands.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz").between(2, maxBucket))
+      .select("band", "bucket")
     val candidates = bands
+      .join(okBuckets, Seq("band", "bucket"))
       .groupBy("band", "bucket")
       .agg(collect_list("doc_id").as("ids"))
-      .filter(size(col("ids")).between(2, maxBucket))
       .select(explode(expr(
         "filter(transform(flatten(transform(ids, a -> transform(ids, b -> struct(a, b)))), " +
           "p -> struct(least(p.a, p.b) AS a, greatest(p.a, p.b) AS b)), p -> p.a < p.b)")).as("p"))
@@ -200,25 +208,26 @@ object TextOps {
       .orderBy("qid", "vec_id")
   }
 
-  /** Random-hyperplane LSH buckets (16 planes ⇒ 16-bit key): candidates
-    * share a bucket; at 100 TB this replaces the crossJoin with a shuffle
-    * on the bucket key. Returns (qid, vec_id) candidate pairs' recall stats
-    * against the brute-force top-k (self-evaluating operator).
+  /** Random-hyperplane LSH bucket keys (vec_id, table, bucket): multi-table
+    * union of independent hyperplane sets; candidates share a bucket. At
+    * 100 TB this replaces the crossJoin with a shuffle on the bucket key.
+    * Hyperplanes are rebuilt per partition from a fixed seed with the
+    * dimensionality taken from the first row — no driver-side action, no
+    * broadcast (tables×planes×dim doubles is tiny).
     */
-  def lshCosineRecall(spark: SparkSession, emb: DataFrame, planes: Int = 8,
-      tables: Int = 4, nQueries: Int = 5, k: Int = 5): DataFrame = {
+  def lshBuckets(spark: SparkSession, emb: DataFrame, planes: Int = 8,
+      tables: Int = 4): DataFrame = {
     import spark.implicits._
-    val dim = emb.select(size(col("embedding"))).first().getInt(0)
-    val rnd = new scala.util.Random(4242)
-    // multi-table LSH: union of candidates over independent hyperplane sets
-    val hyper = Array.fill(tables, planes, dim)(rnd.nextGaussian())
-    val hyperB = spark.sparkContext.broadcast(hyper)
-    val keyed = emb.select("vec_id", "embedding").as[(Long, Seq[Float])]
+    emb.select("vec_id", "embedding").as[(Long, Seq[Float])]
       .mapPartitions { it =>
-        val hs = hyperB.value
+        var hyper: Array[Array[Array[Double]]] = null
         it.flatMap { case (id, v) =>
-          hs.indices.map { t =>
-            val h = hs(t)
+          if (hyper == null) {
+            val rnd = new scala.util.Random(4242)
+            hyper = Array.fill(tables, planes, v.length)(rnd.nextGaussian())
+          }
+          hyper.indices.map { t =>
+            val h = hyper(t)
             var key = 0
             var p = 0
             while (p < h.length) {
@@ -232,18 +241,28 @@ object TextOps {
           }
         }
       }.toDF("vec_id", "table", "bucket")
-    val truth = cosineTopK(spark, emb, nQueries, k).select("qid", "vec_id")
+  }
+
+  /** Oracle-checkable ANN recall: plant an exact-duplicate vector
+    * (vec_id + 100000) for each query. An identical vector lands in the
+    * identical bucket of every table, so the planted duplicate is
+    * DETERMINISTICALLY a candidate — expected output is the static
+    * (qid, 1) set, a real DuckDB-checkable oracle rather than the operator
+    * evaluating itself.
+    */
+  def lshPlantedRecall(spark: SparkSession, emb: DataFrame, planes: Int = 8,
+      tables: Int = 4, nQueries: Int = 5): DataFrame = {
+    val planted = emb.filter(col("vec_id") < nQueries)
+      .withColumn("vec_id", col("vec_id") + 100000L)
+    val keyed = lshBuckets(spark, emb.unionByName(planted), planes, tables)
     val qBuckets = keyed.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("table"), col("bucket"))
     val candidates = qBuckets.join(keyed, Seq("table", "bucket"))
       .filter(col("vec_id") =!= col("qid"))
       .select("qid", "vec_id").distinct()
-    val recalled = truth.join(candidates, Seq("qid", "vec_id"), "left_semi")
-      .groupBy("qid").agg(count("*").as("recalled_of_5"))
-    // one row per query, zero-filled, so the operator's output is total
     emb.filter(col("vec_id") < nQueries).select(col("vec_id").as("qid"))
-      .join(recalled, Seq("qid"), "left")
-      .select(col("qid"), coalesce(col("recalled_of_5"), lit(0L)).as("recalled_of_5"))
+      .join(candidates.filter(col("vec_id") === col("qid") + 100000L), Seq("qid"), "left")
+      .groupBy("qid").agg(count(col("vec_id")).as("planted_recalled"))
       .orderBy("qid")
   }
 }

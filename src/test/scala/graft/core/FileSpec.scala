@@ -275,6 +275,143 @@ class FileSpec extends AnyFunSuite {
     assert(MothFileReader.fromBytes(bytes).rowCount == 0)
   }
 
+  test("DiskRanges.merge coalesces within distance, respects read-size cap") {
+    // adjacent + small gap merge
+    assert(DiskRanges.merge(Seq((0L, 10L), (10L, 10L), (25L, 5L)), 5L, 1000L) ==
+      Seq((0L, 30L)))
+    // gap beyond distance stays split
+    assert(DiskRanges.merge(Seq((0L, 10L), (100L, 10L)), 5L, 1000L) ==
+      Seq((0L, 10L), (100L, 10L)))
+    // cap: a merged range at the cap stops absorbing
+    assert(DiskRanges.merge(Seq((0L, 100L), (100L, 100L), (200L, 100L)), 0L, 150L) ==
+      Seq((0L, 200L), (200L, 100L)))
+    // unsorted input is sorted first
+    assert(DiskRanges.merge(Seq((20L, 10L), (0L, 10L)), 100L, 1000L) == Seq((0L, 30L)))
+  }
+
+  test("stream-level IO: 1-of-6-column projection reads <25% of stripe bytes") {
+    // six equal-weight incompressible string columns, NONE codec: projecting
+    // one column must fetch ~1/6 of the data bytes, not the whole stripe
+    val schema = TStruct((0 until 6).map(i => s"c$i" -> (TString: MothType)))
+    val n = 20000
+    val r = new scala.util.Random(11)
+    val v = new ColVec(n)
+    v.children = Array.tabulate(6) { _ =>
+      val c = new ColVec(n)
+      c.bins = Array.tabulate(n)(_ => Array.fill(60)((33 + r.nextInt(90)).toByte))
+      c
+    }
+    val bos = new ByteArrayOutputStream()
+    val w = new MothFileWriter(bos, schema, CompressionKind.NONE)
+    w.write(v)
+    w.close()
+    val bytes = bos.toByteArray
+    // force the ranged path (no tiny-stripe whole read, no gap coalescing)
+    val rd = MothFileReader.fromBytes(bytes,
+      ReaderOpts(maxMergeDistance = 0L, tinyStripeThreshold = 0L))
+    val tailBytes = rd.bytesRead
+    val out = rd.batches(Some(Seq("c3"))).toSeq
+    assert(out.map(_.len).sum == n)
+    // decoded content must match what was written for the projected column
+    val got = out.flatMap(b => (0 until b.len).map(i => b.children(0).bins(i).toSeq))
+    assert(got == v.children(3).bins.map(_.toSeq).toSeq)
+    val streamBytes = rd.bytesRead - tailBytes
+    assert(streamBytes < bytes.length / 4,
+      s"1-of-6 projection read $streamBytes of ${bytes.length} file bytes")
+  }
+
+  test("ranged-read fetch plan decodes identically to whole-stripe read") {
+    val (schema, v) = makeVec(2000, 7, 3)
+    val bos = new ByteArrayOutputStream()
+    val w = new MothFileWriter(bos, schema, CompressionKind.ZLIB)
+    w.write(v)
+    w.close()
+    val rd = MothFileReader.fromBytes(bos.toByteArray,
+      ReaderOpts(maxMergeDistance = 0L, tinyStripeThreshold = 0L))
+    fullCompare(schema, Seq(v), rd.batches().toSeq)
+  }
+
+  test("row-group pruning still works over ranged reads (index streams fetched)") {
+    val schema = TStruct(Seq("id" -> TLong))
+    val n = 10000
+    val v = new ColVec(n)
+    val c = new ColVec(n)
+    c.longs = Array.tabulate(n)(_.toLong)
+    v.children = Array(c)
+    val bos = new ByteArrayOutputStream()
+    val w = new MothFileWriter(bos, schema, CompressionKind.ZLIB,
+      WriterOpts(rowGroupMaxRowCount = 100))
+    w.write(v)
+    w.close()
+    val rd = MothFileReader.fromBytes(bos.toByteArray,
+      ReaderOpts(maxMergeDistance = 0L, tinyStripeThreshold = 0L))
+    val pred = StatsPredicate(Seq(LongRangePred("id", Some(5000L), Some(5099L))))
+    val got = rd.batches(predicate = pred).toSeq.flatMap(b => b.children(0).longs.take(b.len))
+    assert(got == (5000L to 5099L).toSeq)
+  }
+
+  test("checkpoint seek: single-group reads match full-read slices, all types") {
+    // monotone id drives row-group selection; the rest exercises every
+    // seek path (present bits, RLE pending, raw byte offsets, dict indices,
+    // list lengths + child)
+    val (schema, v) = makeVec(5000, 7, 21)
+    val idCol = new ColVec(5000)
+    idCol.longs = Array.tabulate(5000)(_.toLong)
+    val full = MothType.TStruct(Seq("id" -> (TLong: MothType)) ++ schema.fields)
+    val fv = new ColVec(5000)
+    fv.children = idCol +: v.children
+    val bos = new ByteArrayOutputStream()
+    val w = new MothFileWriter(bos, full, CompressionKind.ZLIB,
+      WriterOpts(rowGroupMaxRowCount = 250))
+    w.write(fv)
+    w.close()
+    val bytes = bos.toByteArray
+    val whole = MothFileReader.fromBytes(bytes).batches().toSeq
+    val flatWhole = flatten(full, whole)
+    for (g <- Seq(3, 7, 19)) { // 20 groups of 250
+      val lo = g * 250L
+      val rd = MothFileReader.fromBytes(bytes)
+      val pred = StatsPredicate(Seq(LongRangePred("id", Some(lo), Some(lo + 249))))
+      val got = rd.batches(predicate = pred).toSeq
+      assert(got.map(_.len).sum == 250, s"group $g row count")
+      val flatGot = flatten(full, got)
+      // compare each flattened column's slice [g*250, g*250+250)
+      flatWhole.indices.foreach { c =>
+        assert(flatGot(c) == flatWhole(c).slice(g * 250, g * 250 + 250),
+          s"group $g column $c mismatch")
+      }
+    }
+  }
+
+  test("checkpoint seek decodes <5% of values for a 1-of-100 row-group read") {
+    val schema = TStruct(Seq("id" -> TLong, "s" -> TString))
+    val n = 100000 // 100 groups of 1000
+    val v = new ColVec(n)
+    val id = new ColVec(n)
+    id.longs = Array.tabulate(n)(_.toLong)
+    val s = new ColVec(n)
+    val r = new scala.util.Random(5)
+    s.bins = Array.tabulate(n)(i => s"value-$i-${r.nextInt(1000)}".getBytes("UTF-8"))
+    v.children = Array(id, s)
+    val bos = new ByteArrayOutputStream()
+    val w = new MothFileWriter(bos, schema, CompressionKind.ZLIB,
+      WriterOpts(rowGroupMaxRowCount = 1000))
+    w.write(v)
+    w.close()
+    val rd = MothFileReader.fromBytes(bos.toByteArray)
+    val pred = StatsPredicate(Seq(LongRangePred("id", Some(50000L), Some(50999L))))
+    graft.core.rle.RleV2Reader.totalDecoded.reset()
+    graft.core.rle.RleV2Reader.instrumented = true
+    val got = try rd.batches(predicate = pred).toSeq
+      finally graft.core.rle.RleV2Reader.instrumented = false
+    val decoded = graft.core.rle.RleV2Reader.totalDecoded.sum()
+    assert(got.map(_.len).sum == 1000)
+    assert(got.head.children(0).longs(0) == 50000L)
+    // streams: id DATA (100k values) + s LENGTH (100k): full decode-skip
+    // would decode ~200k; seeks should decode ~2k + checkpoint remainders
+    assert(decoded < 10000L, s"decoded $decoded RLE values for a 1000-row read")
+  }
+
   test("projection reads only requested fields") {
     val (schema, v) = makeVec(1000, 0, 7)
     val bos = new ByteArrayOutputStream()
