@@ -162,6 +162,20 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
 
+    // — DataSourceV2 write path: df.write.format("moth") → scan back,
+    //   exact-math aggregate (doubles only via min/max) —
+    "dsv2_write_lineitem" -> ((s, d) => {
+      val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft-dsv2w-${Integer.toHexString(d.hashCode)}/lineitem").getAbsolutePath
+      read(s, d, "lineitem").write.format("moth").mode("overwrite").save(out)
+      s.read.format("moth").load(out)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"),
+          sum("l_orderkey").cast("long").as("sum_okey"),
+          min("l_quantity").as("min_qty"), max("l_quantity").as("max_qty"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
     // — training-data ops (shared SQL text with the oracle) —
     "dedup_exact" -> ((s, d) => bySql(s, d, Seq("documents"), DedupExactSql)),
     "text_quality" -> ((s, d) => bySql(s, d, Seq("documents"), TextQualitySql)),
@@ -274,6 +288,12 @@ object SparkEntry {
       """SELECT o_orderstatus, count(*) AS cnt, cast(sum(o_orderkey) AS bigint) AS sum_key
         |FROM orders WHERE o_orderkey BETWEEN 1000 AND 5000
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "dsv2_write_lineitem" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        |  cast(sum(l_orderkey) AS bigint) AS sum_okey,
+        |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "dedup_exact" -> DedupExactSql,
     "text_quality" -> TextQualitySql,
     "lang_id" -> LangIdSql,

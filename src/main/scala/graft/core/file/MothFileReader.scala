@@ -185,9 +185,21 @@ final class MothFileReader(src: ByteSource, opts: ReaderOpts = ReaderOpts()) {
       batchSize: Int = 8192,
       split: Option[(Long, Long)] = None): Iterator[ColVec] = {
     val fields = includedFields.getOrElse(schema.fields.map(_._1))
-    val projected = MothType.TStruct(schema.fields.filter(f => fields.contains(f._1)))
-    val includedIds: Set[Int] = Set(0) ++ fieldColumnRanges
-      .filter(f => fields.contains(f._1)).flatMap(_._2)
+    batchesProjected(MothType.TStruct(schema.fields.filter(f => fields.contains(f._1))),
+      predicate, batchSize, split)
+  }
+
+  /** Iterate batches over an arbitrary NESTED projection (name-matched
+    * against the file schema at every struct level — the reference's
+    * NameBasedProjectedLayout, MothReader.go:184-230): only the projected
+    * subtrees' streams are fetched and decoded. Struct subfields prune at
+    * any depth; lists/maps prune their element/value subtrees.
+    */
+  def batchesProjected(projected: MothType.TStruct,
+      predicate: StatsPredicate = StatsPredicate.True,
+      batchSize: Int = 8192,
+      split: Option[(Long, Long)] = None): Iterator[ColVec] = {
+    val includedIds = MothFileReader.projectedIds(schema, projected, 0)
 
     // file-level stats gate
     if (!predicate.matches(columnIdOf, c => footer.statistics.lift(c), _ => None))
@@ -321,15 +333,12 @@ final class MothFileReader(src: ByteSource, opts: ReaderOpts = ReaderOpts()) {
     }
   }
 
-  /** Reader tree over the projected fields but with ORIGINAL column ids. */
+  /** Reader tree over the projected (possibly nested) fields but with
+    * ORIGINAL column ids, children in PROJECTED field order.
+    */
   private def buildProjectedReader(projected: MothType.TStruct,
-      includedIds: Set[Int]): ColumnReader = {
-    val kids = schema.fields.zip(fieldColumnRanges).collect {
-      case ((name, t), (_, range)) if projected.fields.exists(_._1 == name) =>
-        ColumnReader.createTree(t, range.start)
-    }
-    new StructColumnReader(0, kids)
-  }
+      includedIds: Set[Int]): ColumnReader =
+    MothFileReader.projectedReader(schema, projected, 0)
 
   def close(): Unit = src.close()
 }
@@ -339,4 +348,57 @@ object MothFileReader {
     new MothFileReader(new ArraySource(bytes), opts)
   def fromPath(path: String, opts: ReaderOpts = ReaderOpts()): MothFileReader =
     new MothFileReader(new FileSource(path), opts)
+
+  /** Column ids covered by a nested projection: struct levels keep only the
+    * name-matched subfields (types come from the FILE schema — the
+    * projection only carries shape/names); lists/maps recurse into
+    * element/value; any other node includes its whole subtree.
+    */
+  private[file] def projectedIds(full: MothType, proj: MothType, id: Int): Set[Int] =
+    (full, proj) match {
+      case (fs: MothType.TStruct, ps: MothType.TStruct) =>
+        var out = Set(id)
+        var next = id + 1
+        fs.fields.foreach { case (name, ft) =>
+          val myId = next
+          next += MothType.columnCount(ft)
+          ps.fields.find(_._1 == name).foreach { case (_, pt) =>
+            out ++= projectedIds(ft, pt, myId)
+          }
+        }
+        out
+      case (fl: MothType.TList, pl: MothType.TList) =>
+        Set(id) ++ projectedIds(fl.elem, pl.elem, id + 1)
+      case (fm: MothType.TMap, pm: MothType.TMap) =>
+        val keyId = id + 1
+        val valId = keyId + MothType.columnCount(fm.key)
+        Set(id) ++ projectedIds(fm.key, pm.key, keyId) ++ projectedIds(fm.value, pm.value, valId)
+      case (t, _) => (id until id + MothType.columnCount(t)).toSet
+    }
+
+  /** Reader tree for a nested projection: original ids, projected order. */
+  private[file] def projectedReader(full: MothType, proj: MothType, id: Int): ColumnReader =
+    (full, proj) match {
+      case (fs: MothType.TStruct, ps: MothType.TStruct) =>
+        var next = id + 1
+        val kids = fs.fields.map { case (name, ft) =>
+          val myId = next
+          next += MothType.columnCount(ft)
+          (name, ft, myId)
+        }
+        val children = ps.fields.map { case (pname, pt) =>
+          val (_, ft, cid) = kids.find(_._1 == pname).getOrElse(
+            sys.error(s"projected field '$pname' not in file schema"))
+          projectedReader(ft, pt, cid)
+        }
+        new StructColumnReader(id, children)
+      case (fl: MothType.TList, pl: MothType.TList) =>
+        new ListColumnReader(id, projectedReader(fl.elem, pl.elem, id + 1))
+      case (fm: MothType.TMap, pm: MothType.TMap) =>
+        val keyId = id + 1
+        val valId = keyId + MothType.columnCount(fm.key)
+        new MapColumnReader(id, projectedReader(fm.key, pm.key, keyId),
+          projectedReader(fm.value, pm.value, valId))
+      case (t, _) => ColumnReader.createTree(t, id)
+    }
 }

@@ -17,8 +17,14 @@ import BitCodec._
   *     all-equal chunks through determineEncoding, which can't pick DELTA
   *     when initialDelta == 0).
   */
-final class RleV2Writer(val signed: Boolean, val out: ByteBuf = new ByteBuf(128)) {
+final class RleV2Writer(val signed: Boolean, val out: ByteBuf = new ByteBuf(128),
+    refCompat: Boolean = false) {
   import RleV2._
+  // refCompat reproduces the reference's exact (buggier, never smaller)
+  // encoding choices — int-truncated percentileBits (PATCHED_BASE dead,
+  // LongOutputStreamV2.go:563) and no DELTA for all-equal chunks
+  // (LongOutputStreamV2.go:213-225 requires initialDelta != 0). Used by the
+  // size-parity test to prove default output ≤ reference-equivalent output.
 
   private val literals = new Array[Long](MaxScope)
   private val zigzagLits = new Array[Long](MaxScope)
@@ -132,7 +138,7 @@ final class RleV2Writer(val signed: Boolean, val out: ByteBuf = new ByteBuf(128)
     } else {
       System.arraycopy(literals, 0, zigzagLits, 0, numLiterals)
     }
-    zzBits100p = percentileBits(zigzagLits, 0, numLiterals, 1.0)
+    zzBits100p = pctBits(zigzagLits, numLiterals, 1.0)
     if (numLiterals <= MinRepeat) return Enc.Direct
 
     var isIncreasing = true
@@ -163,19 +169,28 @@ final class RleV2Writer(val signed: Boolean, val out: ByteBuf = new ByteBuf(128)
     }
     // overflow-unsafe subtraction → DIRECT
     if (((max ^ min) & ((max - min) ^ max)) < 0) return Enc.Direct
-    if (isFixedDelta) { fixedDelta = initialDelta; return Enc.Delta }
+    if (isFixedDelta && (initialDelta != 0 || !refCompat)) {
+      fixedDelta = initialDelta; return Enc.Delta
+    }
     if (initialDelta != 0) {
       bitsDeltaMax = findClosestNumBits(deltaMax)
       if (isIncreasing || isDecreasing) return Enc.Delta
     }
-    zzBits90p = percentileBits(zigzagLits, 0, numLiterals, 0.9)
+    zzBits90p = pctBits(zigzagLits, numLiterals, 0.9)
     if (zzBits100p - zzBits90p <= 1) return Enc.Direct
     i = 0
     while (i < numLiterals) { baseReduced(i) = literals(i) - min; i += 1 }
-    brBits95p = percentileBits(baseReduced, 0, numLiterals, 0.95)
-    brBits100p = percentileBits(baseReduced, 0, numLiterals, 1.0)
+    brBits95p = pctBits(baseReduced, numLiterals, 0.95)
+    brBits100p = pctBits(baseReduced, numLiterals, 1.0)
     if (brBits100p == brBits95p) Enc.Direct else Enc.PatchedBase
   }
+
+  /** percentileBits with the reference's int truncation when refCompat:
+    * `length * int32(1.0-p)` = 0 makes every percentile the 100th.
+    */
+  private def pctBits(data: Array[Long], n: Int, p: Double): Int =
+    if (refCompat) percentileBits(data, 0, n, 1.0)
+    else percentileBits(data, 0, n, p)
 
   private def writeValues(encoding: Int): Unit = {
     if (numLiterals == 0) return

@@ -2,15 +2,18 @@ package graft.spark.source
 
 import java.util.{Map => JMap}
 import scala.jdk.CollectionConverters._
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.{ByteType, DateType, IntegerType, LongType, ShortType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.sql.catalyst.InternalRow
-import graft.core.file.{LongEqPred, LongRangePred, MothFileReader, StatsPredicate, StringEqPred}
-import graft.spark.SparkBridge
+import graft.core.columns.WriterOpts
+import graft.core.compress.CompressionKind
+import graft.core.file.{LongEqPred, LongRangePred, MothFileReader, MothFileWriter, StatsPredicate, StringEqPred}
+import graft.spark.{InternalBridge, SparkBridge}
 
 /** DataSourceV2 "moth" format: `spark.read.format("moth").load(dir)`.
   *
@@ -66,15 +69,109 @@ object MothTable {
   }
 }
 
-class MothTable(path: String, tableSchema: StructType) extends Table with SupportsRead {
+class MothTable(path: String, tableSchema: StructType) extends Table
+    with SupportsRead with SupportsWrite {
   override def name(): String = s"moth:$path"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new MothScanBuilder(path, tableSchema,
       Option(options.get("maxPartitionBytes")).map(_.toLong).getOrElse(128L << 20))
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new MothWriteBuilder(path, info.schema(), info.queryId(),
+      Option(info.options.get("codec")).map(c => CompressionKind.withName(c.toUpperCase))
+        .getOrElse(CompressionKind.ZLIB))
+}
+
+/** DSv2 write: `df.write.format("moth").mode("append"|"overwrite").save(dir)`.
+  * One MOTH file per task; task commit renames the attempt-private tmp file
+  * (Spark's commit coordinator admits one attempt per partition), overwrite
+  * clears prior .moth files at job commit. The reference exposes writes only
+  * through its writer API; this is the engine's Catalyst-facing face.
+  */
+class MothWriteBuilder(path: String, schema: StructType, queryId: String,
+    codec: CompressionKind.Value) extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = new MothWrite(path, schema, queryId, codec, doTruncate)
+}
+
+class MothWrite(path: String, schema: StructType, queryId: String,
+    codec: CompressionKind.Value, truncate: Boolean) extends Write with BatchWrite {
+  override def toBatch: BatchWrite = this
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val dir = new java.io.File(path)
+    dir.mkdirs()
+    if (!truncate) {
+      // append into a non-empty dir only with an identical schema: the scan
+      // infers the table schema from one footer
+      val existing = dir.listFiles((_, n) => n.endsWith(".moth"))
+      if (existing != null && existing.nonEmpty) {
+        // nullability is not encoded in MOTH (PRESENT is per-stripe), so
+        // compare modulo nullable flags
+        val have = MothTable.schemaOf(Seq(existing.head.getAbsolutePath))
+        def norm(s: StructType): Seq[(String, String)] =
+          s.fields.toSeq.map(f => (f.name, f.dataType.catalogString))
+        require(norm(have) == norm(schema),
+          s"moth append schema mismatch: dir has $have, writing $schema")
+      }
+    }
+    MothDataWriterFactory(path, schema, queryId, codec)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    if (truncate) {
+      val keep = messages.collect { case MothCommit(f) => f }.toSet
+      new java.io.File(path).listFiles((_, n) => n.endsWith(".moth"))
+        .foreach(f => if (!keep.contains(f.getName)) f.delete())
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case MothCommit(f) => new java.io.File(path, f).delete()
+      case _ =>
+    }
+}
+
+case class MothCommit(fileName: String) extends WriterCommitMessage
+
+case class MothDataWriterFactory(path: String, schema: StructType, queryId: String,
+    codec: CompressionKind.Value) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new MothDataWriter(path, schema, queryId, codec, partitionId, taskId)
+}
+
+class MothDataWriter(path: String, schema: StructType, queryId: String,
+    codec: CompressionKind.Value, partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+  private val fileName = f"part-$partitionId%05d-$queryId.moth"
+  private val tmp = new java.io.File(path, s"$fileName.$taskId.tmp")
+  private val fos = new java.io.BufferedOutputStream(new java.io.FileOutputStream(tmp), 1 << 16)
+  private val writer = new MothFileWriter(fos, SparkBridge.toMothStruct(schema), codec, WriterOpts())
+  private val batch = new InternalBridge.VecBuilder(schema, graft.spark.MothSpark.BatchSize)
+
+  override def write(row: InternalRow): Unit = {
+    batch.add(row)
+    if (batch.count == graft.spark.MothSpark.BatchSize) writer.write(batch.build())
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (batch.count > 0) writer.write(batch.build())
+    writer.close()
+    fos.close()
+    val dst = new java.io.File(path, fileName)
+    if (!tmp.renameTo(dst)) throw new java.io.IOException(s"rename $tmp -> $dst failed")
+    MothCommit(fileName)
+  }
+
+  override def abort(): Unit = { try fos.close() catch { case _: Exception => }; tmp.delete() }
+  override def close(): Unit = ()
 }
 
 class MothScanBuilder(path: String, fullSchema: StructType, maxPartitionBytes: Long = 128L << 20)
@@ -221,10 +318,13 @@ class MothPartitionReader(part: MothInputPartition, required: StructType,
     predicate: StatsPredicate) extends PartitionReader[InternalRow] {
   private val reader = MothFileReader.fromPath(part.file)
   private val rows: Iterator[InternalRow] = reader
-    .batches(
-      includedFields =
-        if (required.isEmpty) Some(Seq(reader.schema.fields.head._1))
-        else Some(required.fieldNames.toSeq),
+    .batchesProjected(
+      // NESTED projection: Spark's nested schema pruning hands a pruned
+      // struct tree; name-match it against the file schema so only the
+      // projected subtrees' streams are fetched and decoded
+      if (required.isEmpty)
+        graft.core.columns.MothType.TStruct(Seq(reader.schema.fields.head))
+      else SparkBridge.toMothStruct(required),
       predicate = predicate,
       split = Some((part.start, part.end)))
     .flatMap { v =>

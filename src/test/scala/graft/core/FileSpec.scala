@@ -412,6 +412,38 @@ class FileSpec extends AnyFunSuite {
     assert(decoded < 10000L, s"decoded $decoded RLE values for a 1000-row read")
   }
 
+  test("nested projection: one struct subfield decodes only that subtree") {
+    val (schema, v) = makeVec(3000, 0, 13)
+    val bos = new ByteArrayOutputStream()
+    val w = new MothFileWriter(bos, schema, CompressionKind.NONE)
+    w.write(v)
+    w.close()
+    val bytes = bos.toByteArray
+    // full read for reference values of st.x
+    val fullRead = MothFileReader.fromBytes(bytes).batches().toSeq
+    val stIdx = schema.fields.indexWhere(_._1 == "st")
+    val expectedX = fullRead.flatMap { b =>
+      val st = b.children(stIdx)
+      st.children(0).longs.take((0 until st.len).count(i => !st.isNull(i)))
+    }
+    // nested projection st.x with forced ranged IO: correct values + fewer bytes
+    val proj = TStruct(Seq("st" -> TStruct(Seq("x" -> (TLong: MothType)))))
+    val rd = MothFileReader.fromBytes(bytes,
+      ReaderOpts(maxMergeDistance = 0L, tinyStripeThreshold = 0L))
+    val tail = rd.bytesRead
+    val out = rd.batchesProjected(proj).toSeq
+    assert(out.map(_.len).sum == 3000)
+    assert(out.head.children.length == 1 && out.head.children(0).children.length == 1)
+    val gotX = out.flatMap { b =>
+      val st = b.children(0)
+      st.children(0).longs.take((0 until st.len).count(i => !st.isNull(i)))
+    }
+    assert(gotX == expectedX, "st.x values under nested projection")
+    val ioBytes = rd.bytesRead - tail
+    assert(ioBytes < bytes.length / 3,
+      s"nested 1-subfield projection read $ioBytes of ${bytes.length}")
+  }
+
   test("projection reads only requested fields") {
     val (schema, v) = makeVec(1000, 0, 7)
     val bos = new ByteArrayOutputStream()

@@ -201,6 +201,56 @@ class RleSpec extends AnyFunSuite {
     }
   }
 
+  test("size parity: default encoding ≤ reference-equivalent encoding, decodes identically") {
+    // refCompat reproduces the reference writer's exact encoding choices
+    // (int-truncated percentileBits kills PATCHED_BASE; all-equal chunks go
+    // DIRECT not DELTA). The north rule's "≤ reference compressed size" gate
+    // at the integer-stream level: for every distribution, the default
+    // writer's bytes must be ≤ the reference-equivalent bytes — never >.
+    val rnd = new scala.util.Random(99)
+    def encode(xs: Array[Long], signed: Boolean, compat: Boolean): Array[Byte] = {
+      val w = new RleV2Writer(signed, refCompat = compat)
+      xs.foreach(w.writeLong)
+      w.flush()
+      w.out.toArray
+    }
+    val fixtures: Seq[(String, Boolean, Array[Long])] = Seq(
+      ("all-equal 2048 (dict/salt runs)", false, Array.fill(2048)(7L)),
+      ("monotone turn_idx", true, Array.tabulate(5000)(_.toLong)),
+      ("ts deltas with jitter", true,
+        Array.iterate(1735689600L, 5000)(t => t + 1 + rnd.nextInt(300))),
+      ("small values with rare outliers (patched-base)", false,
+        Array.tabulate(4000)(i => if (i % 100 == 17) 1L << 40 else rnd.nextInt(64).toLong)),
+      ("uniform random", true, Array.fill(3000)(rnd.nextLong() >> 16)),
+      ("string lengths zipf-ish", false,
+        Array.fill(5000)((1 + 2000 / (1 + rnd.nextInt(50))).toLong)),
+      ("dictionary indices low-card", false, Array.fill(8000)(rnd.nextInt(4).toLong))
+    )
+    var strictlySmaller = 0
+    fixtures.foreach { case (name, signed, xs) =>
+      val dflt = encode(xs, signed, compat = false)
+      val compat = encode(xs, signed, compat = true)
+      assert(dflt.length <= compat.length,
+        s"$name: default ${dflt.length}B > reference-equivalent ${compat.length}B")
+      if (dflt.length < compat.length) strictlySmaller += 1
+      // both are spec-ORC: our reader decodes each back to the input
+      assert(rleV2Decode(dflt, signed, xs.length).toSeq == xs.toSeq, s"$name default decode")
+      assert(rleV2Decode(compat, signed, xs.length).toSeq == xs.toSeq, s"$name compat decode")
+    }
+    assert(strictlySmaller >= 2,
+      "expected the all-equal and outlier fixtures to be strictly smaller than reference")
+    // property sweep: no distribution may make the default writer bigger
+    checkAll(Gen.containerOfN[Array, Long](513,
+      Gen.oneOf(Gen.choose(-100L, 100L), Gen.choose(Long.MinValue / 4, Long.MaxValue / 4),
+        Gen.const(42L))), n = 100) { xs =>
+      for (signed <- Seq(true, false)) {
+        val in = if (signed) xs else xs.map(_.abs)
+        assert(encode(in, signed, compat = false).length <=
+          encode(in, signed, compat = true).length)
+      }
+    }
+  }
+
   test("chunked compression roundtrip all codecs") {
     val rnd = new scala.util.Random(17)
     val compressible = Array.fill(700000)((rnd.nextInt(4) + 'a').toByte)
