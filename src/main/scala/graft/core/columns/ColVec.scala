@@ -36,6 +36,26 @@ final class ColVec(var len: Int) {
   @inline def isNull(i: Int): Boolean = nulls != null && nulls(i)
   @inline def binOff(i: Int): Int = offs(i)
   @inline def binLen(i: Int): Int = offs(i + 1) - offs(i)
+
+  /** Approximate decoded bytes of this batch (drives the reader's adaptive
+    * batch sizing — analog of Block.GetSizeInBytes in
+    * MothRecordReader.go:222-227).
+    */
+  def approxBytes: Long = {
+    var total = 0L
+    if (longs != null) total += 8L * len
+    if (doubles != null) total += 8L * len
+    if (bigs != null) total += 24L * len
+    if (lengths != null) total += 4L * len
+    if (packed != null && offs != null && len > 0) total += (offs(len) - offs(0)).toLong
+    else if (bins != null) {
+      var i = 0
+      while (i < len) { if (bins(i) != null) total += bins(i).length + 16; i += 1 }
+    }
+    if (nulls != null) total += len
+    if (children != null) { var i = 0; while (i < children.length) { total += children(i).approxBytes; i += 1 } }
+    total
+  }
 }
 
 /** MOTH logical types (kind ids per the proto Type.Kind enum,

@@ -51,7 +51,8 @@ final class FileSource(path: String) extends ByteSource {
 final case class ReaderOpts(
     maxMergeDistance: Long = 1L << 20,
     maxReadSize: Long = 8L << 20,
-    tinyStripeThreshold: Long = 8L << 20)
+    tinyStripeThreshold: Long = 8L << 20,
+    maxBlockBytes: Long = 16L << 20)
 
 object DiskRanges {
   /** Coalesce sorted (offset, length) ranges whose gap is ≤ maxMergeDistance
@@ -301,6 +302,12 @@ final class MothFileReader(src: ByteSource, opts: ReaderOpts = ReaderOpts()) {
     new Iterator[ColVec] {
       private var group = 0
       private var rowInGroup = 0L
+      // Adaptive batch sizing (MothRecordReader.go:63,195-197,222-249):
+      // grow 1 → batchSize doubling per batch, and cap so one batch's
+      // decoded bytes stay under maxBlockBytes — wide text rows would
+      // otherwise make a full-size batch arbitrarily large.
+      private var nextBatch = 1
+      private var adaptiveMax = batchSize
       advance()
 
       private def groupRows(g: Int): Long =
@@ -324,8 +331,16 @@ final class MothFileReader(src: ByteSource, opts: ReaderOpts = ReaderOpts()) {
       def hasNext: Boolean = group < nGroups
       def next(): ColVec = {
         val remainingInGroup = groupRows(group) - rowInGroup
-        val n = math.min(batchSize.toLong, remainingInGroup).toInt
+        val cur = math.min(nextBatch, adaptiveMax)
+        nextBatch = math.min(cur * 2, batchSize)
+        val n = math.min(cur.toLong, remainingInGroup).toInt
         val v = reader.read(n)
+        if (n > 0) {
+          val bytesPerRow = v.approxBytes / n
+          if (bytesPerRow > 0)
+            adaptiveMax = math.max(1,
+              math.min(batchSize.toLong, opts.maxBlockBytes / bytesPerRow).toInt)
+        }
         rowInGroup += n
         if (rowInGroup >= groupRows(group)) { group += 1; rowInGroup = 0; advance() }
         v

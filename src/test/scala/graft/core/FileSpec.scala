@@ -275,6 +275,40 @@ class FileSpec extends AnyFunSuite {
     assert(MothFileReader.fromBytes(bytes).rowCount == 0)
   }
 
+  test("adaptive batch sizing: wide rows shrink the batch under maxBlockBytes") {
+    val schema = TStruct(Seq("s" -> (TString: MothType)))
+    val n = 4000
+    val v = new ColVec(n)
+    val c = new ColVec(n)
+    val r = new scala.util.Random(3)
+    val wide = new Array[Byte](64 * 1024) // 64KB rows: 8192-row batch = 512MB
+    r.nextBytes(wide)
+    c.bins = Array.fill(n)(wide)
+    v.children = Array(c)
+    val bos = new ByteArrayOutputStream()
+    val w = new MothFileWriter(bos, schema, CompressionKind.NONE)
+    w.write(v)
+    w.close()
+    val rd = MothFileReader.fromBytes(bos.toByteArray,
+      ReaderOpts(maxBlockBytes = 1 << 20)) // 1MB cap → ≤16 wide rows per batch
+    val sizes = rd.batches().map(_.len).toSeq
+    assert(sizes.sum == n)
+    assert(sizes.max <= 16, s"batch of wide rows too large: ${sizes.max}")
+    // narrow rows still ramp up to the full batch size
+    val idv = new ColVec(n)
+    val idc = new ColVec(n)
+    idc.longs = Array.tabulate(n)(_.toLong)
+    idv.children = Array(idc)
+    val bos2 = new ByteArrayOutputStream()
+    val w2 = new MothFileWriter(bos2, TStruct(Seq("id" -> TLong)), CompressionKind.NONE)
+    w2.write(idv)
+    w2.close()
+    val sizes2 = MothFileReader.fromBytes(bos2.toByteArray).batches().map(_.len).toSeq
+    assert(sizes2.sum == n)
+    // doubling ramp over 4000 rows: 1,2,4,...,1024, then the 1953 remainder
+    assert(sizes2.max >= 1024, s"narrow rows should ramp up, max=${sizes2.max}")
+  }
+
   test("DiskRanges.merge coalesces within distance, respects read-size cap") {
     // adjacent + small gap merge
     assert(DiskRanges.merge(Seq((0L, 10L), (10L, 10L), (25L, 5L)), 5L, 1000L) ==
