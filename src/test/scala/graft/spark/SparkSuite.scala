@@ -142,6 +142,16 @@ class SparkSuite extends AnyFunSuite with BeforeAndAfterAll {
       .orderBy("conv_id")
     val expect = df.select(col("conv_id"), col("meta.n").as("n")).orderBy("conv_id")
     assert(back.collect().toSeq == expect.collect().toSeq)
+    // the scan itself must carry the PRUNED nested schema (meta.n only) —
+    // i.e. Catalyst's nested schema pruning reached our ScanBuilder
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val scans = back.queryExecution.sparkPlan.collect {
+      case b: BatchScanExec => b.scan.readSchema().catalogString
+    }
+    assert(scans.nonEmpty, "expected a moth BatchScanExec in the plan")
+    info(s"scan readSchema: ${scans.head}")
+    assert(scans.head.contains("n:int") && !scans.head.contains("r:string"),
+      s"scan should read only meta.n, got ${scans.head}")
   }
 
   test("minhash de-skew: a pathological all-identical bucket is dropped, planted pairs survive") {
