@@ -189,17 +189,20 @@ object TextOps {
   /** Brute-force cosine top-k over an embedding column for a small broadcast
     * query set — the exactness baseline; the LSH variant below is the scale
     * path. Double math, rounded to 4 dp for cross-engine determinism.
+    * The dot product is a native codegen Expression (graft.spark.functions
+    * .VecDot) — no dim-sized intermediate array per pair, same left-to-right
+    * double accumulation as the composed built-in form.
     */
   def cosineTopK(spark: SparkSession, emb: DataFrame, nQueries: Int = 5, k: Int = 5): DataFrame = {
+    import graft.spark.functions.VecDot
     // hoist norms: computed once per row / per query, not once per pair
-    val norm = "sqrt(aggregate(%s, 0D, (a, v) -> a + cast(v AS double) * cast(v AS double)))"
-    val nemb = emb.withColumn("nrm", expr(norm.format("embedding")))
+    val nemb = emb.withColumn("nrm", sqrt(VecDot(col("embedding"), col("embedding"))))
     val q = nemb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qnrm"))
-    val dot = "aggregate(zip_with(embedding, qe, (x, y) -> cast(x AS double) * cast(y AS double)), 0D, (a, v) -> a + v)"
     val sims = nemb.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("qid"))
-      .withColumn("sim", round(expr(dot) / (col("nrm") * col("qnrm")), 4))
+      .withColumn("sim",
+        round(VecDot(col("embedding"), col("qe")) / (col("nrm") * col("qnrm")), 4))
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
     sims.withColumn("rn", row_number().over(w))

@@ -172,6 +172,36 @@ class SparkSuite extends AnyFunSuite with BeforeAndAfterAll {
       "spam bucket (size 10000 > cap) must contribute no pairs")
   }
 
+  test("VecDot expression: bit-identical to composed built-ins, null-safe, codegen") {
+    val s = spark
+    import s.implicits._
+    import graft.spark.functions.VecDot
+    val rnd = new scala.util.Random(8)
+    val df = (0 until 500).map { i =>
+      val a = if (i == 7) null else Array.fill(64)(rnd.nextFloat() * 2 - 1)
+      val b = if (i == 13) null else Array.fill(64)(rnd.nextFloat() * 2 - 1)
+      (i, a, b)
+    }.toDF("id", "a", "b")
+    val composed = expr(
+      "aggregate(zip_with(a, b, (x, y) -> cast(x AS double) * cast(y AS double)), 0D, (s, v) -> s + v)")
+    val out = df.select(col("id"), VecDot(col("a"), col("b")).as("fast"), composed.as("slow"))
+      .collect()
+    out.foreach { r =>
+      if (r.isNullAt(1) || r.isNullAt(2)) assert(r.isNullAt(1) == r.isNullAt(2), s"null parity at ${r.getInt(0)}")
+      else assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(2)), s"dot mismatch at ${r.getInt(0)}")
+    }
+    // the ANN plan stays inside whole-stage codegen (no non-codegen expr);
+    // repartition beats ConvertToLocalRelation folding, and AQE only shows
+    // codegen spans in the FINAL (executed) plan
+    val q = df.repartition(2).select(VecDot(col("a"), col("b")))
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    // "*(n) Project [vec_dot...]" = the projection runs inside
+    // WholeStageCodegen stage n
+    assert(plan.contains("*(1) Project [vec_dot"), s"expected codegen span:\n$plan")
+  }
+
   test("transcripts roundtrip: per-turn text equality under stable ordering") {
     val df = TranscriptGen.transcripts(spark, 30000, seed = 42L, partitions = 4)
     val back = MothSpark.roundtrip(df, CompressionKind.ZLIB)
