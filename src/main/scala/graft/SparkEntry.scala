@@ -199,6 +199,56 @@ object SparkEntry {
         .filter(col("doc_b") === col("doc_a") + 100000L)
         .select("doc_a", "doc_b").orderBy("doc_a")
     }),
+    // exact n-gram Jaccard: LSH candidates → array_intersect verification;
+    // planted near-dups (≥200 chars + ~20-char tail ⇒ jaccard ≥ 0.89)
+    "dedup_ngram_jaccard" -> ((s, d) => {
+      import graft.spark.TextOps
+      TextOps.ngramJaccardPairs(s, TextOps.withPlantedNearDups(read(s, d, "documents")))
+        .filter(col("doc_b") === col("doc_a") + 100000L)
+        .orderBy("doc_a")
+    }),
+    // embedding-cosine near-dup: LSH bucket candidates → exact VecDot cosine;
+    // planted exact-duplicate vectors land in identical buckets, cosine = 1
+    "dedup_embedding_cosine" -> ((s, d) => {
+      import graft.spark.TextOps
+      val emb = read(s, d, "embeddings")
+      val planted = emb.filter(col("vec_id") % 5 === 0)
+        .withColumn("vec_id", col("vec_id") + 100000L)
+      TextOps.embeddingCosinePairs(s, emb.unionByName(planted))
+        .filter(col("id_b") === col("id_a") + 100000L)
+        .orderBy("id_a")
+    }),
+
+    // — token counting: whitespace + BPE-ish regex (words / digits / punct) —
+    "token_count" -> ((s, d) => {
+      read(s, d, "documents").select(col("doc_id"),
+        regexp_count(col("text"), lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"))
+          .cast("long").as("n_bpe"),
+        (length(col("text")) - length(replace(col("text"), lit(" "), lit(""))) + 1)
+          .cast("long").as("n_ws"))
+        .orderBy("doc_id")
+    }),
+
+    // — multimodal plumbing: opaque blob → engine BINARY roundtrip → stubbed
+    //   deterministic "decode" (header parse; real codecs aren't in this
+    //   container) + frame sampling (explode = one row per frame) —
+    "mm_frames" -> ((s, d) => {
+      val withBlob = read(s, d, "documents")
+        .filter(length(col("text")) >= 64)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
+      MothSpark.roundtrip(withBlob)
+        .select(col("doc_id"), decode(col("blob"), "UTF-8").as("text"))
+        .select(col("doc_id"),
+          (ascii(substring(col("text"), 1, 1)) % 128 + 1).cast("long").as("width"),
+          (ascii(substring(col("text"), 2, 1)) % 128 + 1).cast("long").as("height"),
+          expr("CASE ascii(substring(text, 3, 1)) % 3 WHEN 0 THEN 'rgb' WHEN 1 THEN 'gray' ELSE 'yuv' END").as("fmt"),
+          col("text"),
+          explode(expr("sequence(0, cast(ceil(length(text) / 256.0) AS int) - 1)")).as("fi"))
+        .select(col("doc_id"), col("width"), col("height"), col("fmt"),
+          col("fi").cast("long").as("frame_idx"),
+          md5(expr("substring(text, cast(fi * 256 + 1 AS int), 256)")).as("frame_md5"))
+        .orderBy("doc_id", "frame_idx")
+    }),
 
     // — similarity search over embeddings: brute-force cosine top-k
     //   (broadcast query side) + LSH-bucketed recall (the scale path) —
@@ -300,6 +350,27 @@ object SparkEntry {
     "fingerprint_docs" -> FingerprintSql,
     "dedup_minhash" -> PlantedPairsSql,
     "dedup_simhash" -> PlantedExactPairsSql,
+    "dedup_ngram_jaccard" -> PlantedPairsSql,
+    "dedup_embedding_cosine" ->
+      """SELECT vec_id AS id_a, vec_id + 100000 AS id_b FROM embeddings
+        |WHERE vec_id % 5 = 0 ORDER BY id_a""".stripMargin,
+    "token_count" ->
+      """SELECT doc_id,
+        |  cast(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS bigint) AS n_bpe,
+        |  cast(length(text) - length(replace(text, ' ', '')) + 1 AS bigint) AS n_ws
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_frames" ->
+      """SELECT doc_id, width, height, fmt, frame_idx,
+        |  md5(substring(text, cast(frame_idx * 256 + 1 AS int), 256)) AS frame_md5
+        |FROM (
+        |  SELECT doc_id,
+        |    cast(ascii(substring(text, 1, 1)) % 128 + 1 AS bigint) AS width,
+        |    cast(ascii(substring(text, 2, 1)) % 128 + 1 AS bigint) AS height,
+        |    CASE ascii(substring(text, 3, 1)) % 3 WHEN 0 THEN 'rgb' WHEN 1 THEN 'gray' ELSE 'yuv' END AS fmt,
+        |    cast(unnest(range(0, cast(ceil(length(text) / 256.0) AS bigint))) AS bigint) AS frame_idx
+        |  FROM documents WHERE length(text) >= 64
+        |) f JOIN documents USING (doc_id)
+        |ORDER BY doc_id, frame_idx""".stripMargin,
     "ann_cosine_topk" -> AnnTopKSql,
     // an exact-duplicate vector lands in the identical LSH bucket of every
     // table, so the planted set is deterministically recalled — the

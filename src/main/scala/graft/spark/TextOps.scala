@@ -186,6 +186,68 @@ object TextOps {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Distinct sorted shingle-hash set of a text (for EXACT n-gram Jaccard). */
+  def shingleSet(text: String): Array[Long] = {
+    val bytes = text.getBytes("UTF-8")
+    if (bytes.length < ShingleLen) return Array(Murmur3.hash64(bytes))
+    val set = new java.util.TreeSet[java.lang.Long]()
+    var pos = 0
+    while (pos + ShingleLen <= bytes.length) {
+      set.add(shingleHash(bytes, pos, ShingleLen))
+      pos += 1
+    }
+    val out = new Array[Long](set.size)
+    val it = set.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    out
+  }
+
+  /** EXACT n-gram Jaccard near-dup pairs: MinHash-LSH candidate generation
+    * (bucketed, de-skewed — the scale path) followed by exact verification
+    * with `array_intersect`/`array_union` over distinct shingle-hash sets.
+    * The textbook two-phase pipeline: cheap probabilistic candidates, exact
+    * set similarity only on the candidate pairs.
+    */
+  def ngramJaccardPairs(spark: SparkSession, docs: DataFrame,
+      threshold: Double = 0.8, maxBucket: Int = 64): DataFrame = {
+    import spark.implicits._
+    val candidates = minHashPairs(spark, docs, threshold = 0.0, maxBucket = maxBucket)
+    val sets = docs.filter(col("text").isNotNull)
+      .select("doc_id", "text").as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) => (id, shingleSet(t)) })
+      .toDF("doc_id", "sset")
+    candidates
+      .join(sets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sset", "sa"), "doc_a")
+      .join(sets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sset", "sb"), "doc_b")
+      .withColumn("jaccard",
+        expr("size(array_intersect(sa, sb)) / cast(size(array_union(sa, sb)) AS double)"))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b")
+  }
+
+  /** Embedding-cosine near-duplicates: LSH bucket candidates (shuffle on
+    * (table, bucket) — no all-pairs join) verified with exact cosine via the
+    * native VecDot expression. Pairs with cosine ≥ threshold, doc_a < doc_b.
+    */
+  def embeddingCosinePairs(spark: SparkSession, emb: DataFrame,
+      threshold: Double = 0.99, planes: Int = 8, tables: Int = 4): DataFrame = {
+    import graft.spark.functions.VecDot
+    val keyed = lshBuckets(spark, emb, planes, tables)
+    val pairs = keyed.select(col("table"), col("bucket"), col("vec_id").as("id_a"))
+      .join(keyed.select(col("table"), col("bucket"), col("vec_id").as("id_b")),
+        Seq("table", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val nemb = emb.withColumn("nrm", sqrt(VecDot(col("embedding"), col("embedding"))))
+    pairs
+      .join(nemb.select(col("vec_id").as("id_a"), col("embedding").as("ea"), col("nrm").as("na")), "id_a")
+      .join(nemb.select(col("vec_id").as("id_b"), col("embedding").as("eb"), col("nrm").as("nb")), "id_b")
+      .withColumn("cosine", VecDot(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b")
+  }
+
   /** Brute-force cosine top-k over an embedding column for a small broadcast
     * query set — the exactness baseline; the LSH variant below is the scale
     * path. Double math, rounded to 4 dp for cross-engine determinism.
