@@ -86,6 +86,19 @@ object MothType {
     override def children: Seq[MothType] = fields.map(_._2)
     override def fieldNames: Seq[String] = fields.map(_._1)
   }
+
+  /** ORC UNION (kind 13): a tag byte stream selects one of the alternative
+    * subtypes per row. At the ColVec/API boundary a union is EXPANDED to its
+    * struct mapping — children(0) = tag (dense over non-null rows),
+    * children(i+1) = alternative i spread to struct-dense layout (null
+    * where the tag differs) — matching how the reference surfaces unions as
+    * Trino RowBlocks (/root/reference/pkg/store/UnionColumnReader.go:153-180).
+    * The reference is read-only for unions (its writer panics); our writer
+    * support is a documented extension.
+    */
+  final case class TUnion(alts: Seq[MothType]) extends MothType(13) {
+    override def children: Seq[MothType] = alts
+  }
   final case class TDecimal(precision: Int, scale: Int) extends MothType(14)
   case object TDate extends MothType(15)
   final case class TVarchar(maxLen: Int) extends MothType(16)

@@ -62,6 +62,10 @@ object ColumnWriter {
           val self = id
           val kids = s.fields.map { case (n, ft) => create(ft, if (path.isEmpty) n else s"$path.$n") }
           new StructColumnWriter(self, kids)
+        case u: MothType.TUnion =>
+          val self = id
+          val kids = u.alts.zipWithIndex.map { case (a, i) => create(a, s"$path.$i") }
+          new UnionColumnWriter(self, kids)
       }
     }
     create(root, "").asInstanceOf[StructColumnWriter]
@@ -73,6 +77,7 @@ object ColumnWriter {
     case s: StructColumnWriter => s.fields.flatMap(dictionaryWriters)
     case l: ListColumnWriter => dictionaryWriters(l.elem)
     case m: MapColumnWriter => dictionaryWriters(m.key) ++ dictionaryWriters(m.value)
+    case u: UnionColumnWriter => u.alts.flatMap(dictionaryWriters)
     case _ => Nil
   }
 }
@@ -681,5 +686,117 @@ final class StructColumnWriter(val columnId: Int, val fields: Seq[ColumnWriter])
     presentCps.clear(); rgStats.clear()
     closed = false
     fields.foreach(_.reset())
+  }
+}
+
+/** UNION: PRESENT + DATA tag byte-RLE + per-alternative children, DIRECT.
+  * WRITE support is a documented extension — the reference's writer panics
+  * on unions (its reader semantics are in UnionColumnReader.go). Input vecs
+  * use the EXPANDED struct shape (children(0) = tag dense over non-null
+  * rows; children(i+1) = alternative i with nulls where the tag differs);
+  * the writer compacts each alternative to its dense per-tag stream.
+  */
+final class UnionColumnWriter(val columnId: Int, val alts: Seq[ColumnWriter])
+    extends ColumnWriter {
+  private var present = new PresentWriter
+  private var tags = new graft.core.rle.ByteRleWriter()
+  private val presentCps = new ArrayBuffer[(Int, Int)]
+  private val tagCps = new ArrayBuffer[(Int, Int)]
+  private val rgStats = new ArrayBuffer[ColStats]
+  private val stats = new CountStatsBuilder
+  private var closed = false
+
+  def beginRowGroup(): Unit = {
+    presentCps += present.checkpoint()
+    tagCps += tags.checkpoint()
+    alts.foreach(_.beginRowGroup())
+  }
+
+  def writeVec(v: ColVec): Unit = {
+    present.appendVec(v.len, v.nulls)
+    val tagv = v.children(0)
+    var i = 0
+    var d = 0
+    while (i < v.len) {
+      if (v.isNull(i)) stats.recordNull()
+      else {
+        tags.writeByte(tagv.longs(d).toByte)
+        stats.add()
+        d += 1
+      }
+      i += 1
+    }
+    var t = 0
+    while (t < alts.length) {
+      alts(t).writeVec(compactAlt(tagv, v.children(t + 1), t))
+      t += 1
+    }
+  }
+
+  /** Rows of the expanded alternative vec whose tag equals `t`, dense. */
+  private def compactAlt(tagv: ColVec, e: ColVec, t: Int): ColVec = {
+    require(e.packed == null, "packed vecs not supported for union alternatives")
+    val nn = tagv.len
+    var count = 0
+    var j = 0
+    while (j < nn) { if (tagv.longs(j) == t) count += 1; j += 1 }
+    val out = new ColVec(count)
+    if (e.nulls != null) out.nulls = new Array[Boolean](count)
+    if (e.longs != null) out.longs = new Array[Long](count)
+    if (e.doubles != null) out.doubles = new Array[Double](count)
+    if (e.bins != null) out.bins = new Array[Array[Byte]](count)
+    if (e.bigs != null) out.bigs = new Array[BigInt](count)
+    if (e.lengths != null) out.lengths = new Array[Int](count)
+    out.children = e.children
+    var k = 0
+    j = 0
+    while (j < nn) {
+      if (tagv.longs(j) == t) {
+        if (out.nulls != null) out.nulls(k) = e.nulls(j)
+        if (out.longs != null) out.longs(k) = e.longs(j)
+        if (out.doubles != null) out.doubles(k) = e.doubles(j)
+        if (out.bins != null) out.bins(k) = e.bins(j)
+        if (out.bigs != null) out.bigs(k) = e.bigs(j)
+        if (out.lengths != null) out.lengths(k) = e.lengths(j)
+        k += 1
+      }
+      j += 1
+    }
+    out
+  }
+
+  def finishRowGroup(): Unit = {
+    rgStats += stats.build(); stats.reset()
+    alts.foreach(_.finishRowGroup())
+  }
+  def close(): Unit = { tags.flush(); alts.foreach(_.close()); closed = true }
+  def encodings: Seq[(Int, ColumnEncoding)] =
+    Seq(columnId -> ColumnEncoding(EncodingKind.Direct)) ++ alts.flatMap(_.encodings)
+  def dataStreams: Seq[StreamData] = {
+    require(closed)
+    present.finish().map(b => StreamData(StreamKind.Present, columnId, b)).toSeq ++
+      Seq(StreamData(StreamKind.Data, columnId, tags.out.toArray)) ++
+      alts.flatMap(_.dataStreams)
+  }
+  def indexEntries: Seq[(Int, Seq[RowGroupIndexEntry])] = {
+    val hasPresent = present.materialized
+    val mine = rgStats.indices.map { i =>
+      val p = if (hasPresent) Array(presentCps(i)._1.toLong, presentCps(i)._2.toLong)
+      else Array.empty[Long]
+      RowGroupIndexEntry(p ++ Array(tagCps(i)._1.toLong, tagCps(i)._2.toLong), rgStats(i))
+    }
+    Seq(columnId -> mine) ++ alts.flatMap(_.indexEntries)
+  }
+  def bloomFilters: Seq[(Int, Seq[BloomFilter])] = alts.flatMap(_.bloomFilters)
+  def stripeStats: Seq[(Int, ColStats)] =
+    Seq(columnId -> ColStats.mergeAll(rgStats)) ++ alts.flatMap(_.stripeStats)
+  def bufferedBytes: Long =
+    present.bufferedBytes + tags.out.size + alts.map(_.bufferedBytes).sum
+  def reset(): Unit = {
+    present = new PresentWriter
+    tags = new graft.core.rle.ByteRleWriter()
+    presentCps.clear(); tagCps.clear(); rgStats.clear()
+    closed = false
+    alts.foreach(_.reset())
   }
 }

@@ -69,6 +69,7 @@ object Meta {
         case 10 => MothType.TList(build(t.subtypes(0)))
         case 11 => MothType.TMap(build(t.subtypes(0)), build(t.subtypes(1)))
         case 12 => MothType.TStruct(t.fieldNames.zip(t.subtypes.map(build)))
+        case 13 => MothType.TUnion(t.subtypes.map(build))
         case 14 => MothType.TDecimal(t.precision, t.scale)
         case 15 => MothType.TDate
         case 16 => MothType.TVarchar(t.maximumLength)

@@ -40,6 +40,14 @@ object ColVecOps {
         out.children = Array(
           slice(m.key, v.children(0), eBefore, eIn),
           slice(m.value, v.children(1), eBefore, eIn))
+      case u: MothType.TUnion =>
+        // expanded shape: tag + alternatives are all dense over non-null rows
+        val nnBefore = countNonNull(v, 0, from)
+        val nnIn = countNonNull(v, from, len)
+        val parts = (MothType.TByte: MothType) +: u.alts
+        out.children = parts.indices.map { i =>
+          slice(parts(i), v.children(i), nnBefore, nnIn)
+        }.toArray
       case _ =>
     }
     out
@@ -66,7 +74,7 @@ object ColVecOps {
   def logicalBytes(t: MothType, v: ColVec, from: Int, len: Int): Long = {
     var total = 0L
     t match {
-      case _: MothType.TStruct | _: MothType.TList | _: MothType.TMap =>
+      case _: MothType.TStruct | _: MothType.TList | _: MothType.TMap | _: MothType.TUnion =>
       case MothType.TBoolean | MothType.TByte => total += len
       case MothType.TShort => total += 2L * len
       case MothType.TInt | MothType.TFloat | MothType.TDate => total += 4L * len
@@ -90,6 +98,12 @@ object ColVecOps {
         val (eB, eI) = elemRange(v, from, len)
         total += logicalBytes(m.key, v.children(0), eB, eI) +
           logicalBytes(m.value, v.children(1), eB, eI) + 4L * len
+      case u: MothType.TUnion =>
+        val nnB = countNonNull(v, 0, from)
+        val nnI = countNonNull(v, from, len)
+        total += 1L * len // tag byte per row
+        u.alts.indices.foreach(i =>
+          total += logicalBytes(u.alts(i), v.children(i + 1), nnB, nnI))
       case _ =>
     }
     total

@@ -58,6 +58,7 @@ object ColumnReader {
         case l: MothType.TList => new ListColumnReader(my, create(l.elem))
         case m: MothType.TMap => new MapColumnReader(my, create(m.key), create(m.value))
         case s: MothType.TStruct => new StructColumnReader(my, s.fields.map(f => create(f._2)))
+        case u: MothType.TUnion => new UnionColumnReader(my, u.alts.map(create))
       }
     }
     create(t)
@@ -536,5 +537,107 @@ final class StructColumnReader(val columnId: Int, val fields: Seq[ColumnReader])
       present.seek(pc.next(), pc.next())
     }
     fields.foreach(_.seek(entryOf))
+  }
+}
+
+/** UNION reader — tag byte stream selects the alternative per row
+  * (/root/reference/pkg/store/UnionColumnReader.go:55-180). Emits the
+  * EXPANDED struct shape: children(0) = tag (dense over non-null rows),
+  * children(i+1) = alternative i spread over non-null rows with nulls where
+  * the tag differs (the reference's RowBlock + UnpackLazyBlockLoader).
+  */
+final class UnionColumnReader(val columnId: Int, alts: Seq[ColumnReader])
+    extends ColumnReader {
+  private var present: BooleanReader = null
+  private var tags: ByteRleReader = null
+
+  def startStripe(s: StripeStreams): Unit = {
+    present = s(columnId, StreamKind.Present)
+      .map(b => new BooleanReader(new ByteRd(b))).orNull
+    tags = new ByteRleReader(new ByteRd(s(columnId, StreamKind.Data).getOrElse(Array.empty)))
+    alts.foreach(_.startStripe(s))
+  }
+
+  def read(n: Int): ColVec = {
+    val v = new ColVec(n)
+    var nonNull = n
+    if (present != null) {
+      v.nulls = new Array[Boolean](n)
+      nonNull = 0
+      var i = 0
+      while (i < n) {
+        val p = present.nextBoolean()
+        v.nulls(i) = !p
+        if (p) nonNull += 1
+        i += 1
+      }
+    }
+    val tagBytes = new Array[Byte](nonNull)
+    tags.next(tagBytes, 0, nonNull)
+    val tagVec = new ColVec(nonNull)
+    tagVec.longs = new Array[Long](nonNull)
+    val counts = new Array[Int](alts.length)
+    var j = 0
+    while (j < nonNull) {
+      val t = tagBytes(j) & 0xff
+      tagVec.longs(j) = t.toLong
+      counts(t) += 1
+      j += 1
+    }
+    val expanded = alts.indices.map { t =>
+      expand(alts(t).read(counts(t)), tagBytes, t, nonNull)
+    }
+    v.children = (tagVec +: expanded).toArray
+    v
+  }
+
+  /** Spread a dense per-tag vec over all non-null union rows (null where the
+    * tag differs); nested children stay dense and aligned by construction.
+    */
+  private def expand(d: ColVec, tagBytes: Array[Byte], t: Int, nn: Int): ColVec = {
+    val out = new ColVec(nn)
+    out.nulls = new Array[Boolean](nn)
+    if (d.longs != null) out.longs = new Array[Long](nn)
+    if (d.doubles != null) out.doubles = new Array[Double](nn)
+    if (d.bins != null) out.bins = new Array[Array[Byte]](nn)
+    if (d.bigs != null) out.bigs = new Array[BigInt](nn)
+    if (d.lengths != null) out.lengths = new Array[Int](nn)
+    out.children = d.children
+    var j = 0
+    var k = 0
+    while (j < nn) {
+      if ((tagBytes(j) & 0xff) == t) {
+        out.nulls(j) = d.isNull(k)
+        if (out.longs != null) out.longs(j) = d.longs(k)
+        if (out.doubles != null) out.doubles(j) = d.doubles(k)
+        if (out.bins != null) out.bins(j) = d.bins(k)
+        if (out.bigs != null) out.bigs(j) = d.bigs(k)
+        if (out.lengths != null) out.lengths(j) = d.lengths(k)
+        k += 1
+      } else out.nulls(j) = true
+      j += 1
+    }
+    out
+  }
+
+  def skip(n: Long): Unit = {
+    var nonNull = n
+    if (present != null) {
+      nonNull = 0
+      var i = 0L
+      while (i < n) { if (present.nextBoolean()) nonNull += 1; i += 1 }
+    }
+    // tags must be decoded on skip: they decide each alternative's count
+    val counts = new Array[Long](alts.length)
+    var i = 0L
+    while (i < nonNull) { counts(tags.nextByte() & 0xff) += 1; i += 1 }
+    alts.indices.foreach(t => alts(t).skip(counts(t)))
+  }
+
+  def seek(entryOf: Int => Array[Long]): Unit = {
+    val pc = new PositionCursor(entryOf(columnId))
+    if (present != null) present.seek(pc.next(), pc.next())
+    tags.seek(pc.next(), pc.next())
+    alts.foreach(_.seek(entryOf))
   }
 }

@@ -52,6 +52,11 @@ object SparkBridge {
     case TMap(k, v) => MapType(toSparkType(k), toSparkType(v))
     case TStruct(fields) =>
       StructType(fields.map { case (n, ft) => StructField(n, toSparkType(ft)) })
+    case TUnion(alts) =>
+      // Spark has no union type; surface the expanded struct mapping the
+      // reader emits (tag + one nullable field per alternative)
+      StructType(StructField("tag", ByteType) +:
+        alts.zipWithIndex.map { case (a, i) => StructField(s"field$i", toSparkType(a)) })
   }
 
   def toSparkSchema(t: TStruct): StructType =

@@ -275,6 +275,83 @@ class FileSpec extends AnyFunSuite {
     assert(MothFileReader.fromBytes(bytes).rowCount == 0)
   }
 
+  test("UNION roundtrip: tags, per-alternative values, nulls, pruning seek") {
+    // union<long, string> with nulls; expanded struct shape at the API
+    val n = 10000
+    val r = new scala.util.Random(77)
+    val schema = TStruct(Seq("id" -> TLong, "u" -> TUnion(Seq(TLong, TString))))
+    val id = new ColVec(n)
+    id.longs = Array.tabulate(n)(_.toLong)
+    val u = new ColVec(n)
+    u.nulls = Array.tabulate(n)(i => i % 11 == 0)
+    val nn = (0 until n).count(i => !u.nulls(i))
+    val tagv = new ColVec(nn)
+    tagv.longs = Array.tabulate(nn)(j => (j % 3 min 1).toLong) // tags 0,1,1,0,1,1,...
+    val e0 = new ColVec(nn)
+    e0.nulls = new Array[Boolean](nn)
+    e0.longs = new Array[Long](nn)
+    val e1 = new ColVec(nn)
+    e1.nulls = new Array[Boolean](nn)
+    e1.bins = new Array[Array[Byte]](nn)
+    (0 until nn).foreach { j =>
+      if (tagv.longs(j) == 0L) {
+        e1.nulls(j) = true
+        e0.longs(j) = r.nextLong() % 100000
+      } else {
+        e0.nulls(j) = true
+        e1.bins(j) = s"alt1-$j-${r.nextInt(100)}".getBytes("UTF-8")
+      }
+    }
+    u.children = Array(tagv, e0, e1)
+    val v = new ColVec(n)
+    v.children = Array(id, u)
+
+    val bos = new ByteArrayOutputStream()
+    val w = new MothFileWriter(bos, schema, CompressionKind.ZLIB,
+      WriterOpts(rowGroupMaxRowCount = 1000))
+    w.write(v)
+    w.close()
+
+    def checkRange(batches: Seq[ColVec], lo: Int, count: Int): Unit = {
+      assert(batches.map(_.len).sum == count)
+      var row = lo
+      // walk batches row by row, tracking dense positions
+      batches.foreach { b =>
+        val bu = b.children(1)
+        var dense = 0
+        (0 until b.len).foreach { i =>
+          assert(b.children(0).longs(i) == row.toLong, s"id at $row")
+          val expNull = row % 11 == 0
+          assert(bu.isNull(i) == expNull, s"union null at $row")
+          if (!expNull) {
+            // recompute this row's dense index within the FULL data
+            val fullDense = (0 until row).count(x => x % 11 != 0)
+            val expTag = (fullDense % 3) min 1
+            assert(bu.children(0).longs(dense) == expTag.toLong, s"tag at $row")
+            if (expTag == 0) {
+              assert(!bu.children(1).isNull(dense) && bu.children(2).isNull(dense))
+            } else {
+              assert(bu.children(1).isNull(dense) && !bu.children(2).isNull(dense))
+              assert(new String(bu.children(2).bins(dense), "UTF-8").startsWith(s"alt1-$fullDense-"))
+            }
+            dense += 1
+          }
+          row += 1
+        }
+      }
+      assert(row == lo + count)
+    }
+
+    val full = MothFileReader.fromBytes(bos.toByteArray).batches().toSeq
+    checkRange(full, 0, n)
+
+    // row-group pruning with a predicate on id exercises union seek
+    val rd = MothFileReader.fromBytes(bos.toByteArray)
+    val pred = StatsPredicate(Seq(LongRangePred("id", Some(5000L), Some(5999L))))
+    val pruned = rd.batches(predicate = pred).toSeq
+    checkRange(pruned, 5000, 1000)
+  }
+
   test("adaptive batch sizing: wide rows shrink the batch under maxBlockBytes") {
     val schema = TStruct(Seq("s" -> (TString: MothType)))
     val n = 4000
