@@ -150,6 +150,13 @@ object Bench {
     val results = if (sys.env.contains("SPARK_GRAFT_SCALING_ONLY")) Nil else {
       val spark = session(cpus)
       spark.conf.set("spark.sql.shuffle.partitions", cpus.toString)
+      // session/JIT warmup so the alphabetically-first query doesn't absorb
+      // scheduler + codegen + encode-path class-load costs
+      try {
+        spark.range(100000).selectExpr("sum(id)").collect()
+        graft.spark.MothSpark.roundtrip(
+          spark.read.parquet(s"$sfDir/nation.parquet")).count()
+      } catch { case _: Throwable => }
       val r = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
@@ -161,6 +168,14 @@ object Bench {
       }
       spark.stop()
       r
+    }
+
+    // queries-only iteration mode: print per-query timings, skip scaling
+    // and leave BENCH/BASELINE.md untouched
+    if (sys.env.contains("SPARK_GRAFT_QUERIES_ONLY")) {
+      val qs0 = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+      println(f"""{"metric":"queries","value":${results.map(_._2).sum}%.2f,"unit":"sec","queries":$qs0,"sf":"$sfDir"}""")
+      return
     }
 
     // 2) scaling evidence: N=8 vs 4N=32 cores, identical input

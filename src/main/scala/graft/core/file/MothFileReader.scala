@@ -128,29 +128,16 @@ object StatsPredicate {
   * file/stripe/row-group stats + bloom pruning per MothRecordReader.go and
   * StripeReader.go:272-293.
   */
-final class MothFileReader(src: ByteSource, opts: ReaderOpts = ReaderOpts()) {
+final class MothFileReader(src: ByteSource, opts: ReaderOpts = ReaderOpts(),
+    preParsed: ParsedTail = null) {
   import MothFileReader._
 
   /** IO bytes fetched so far (tail + stripes). */
   def bytesRead: Long = src.bytesRead
 
   val (postScript, footer, stripeStatsPerStripe) = {
-    val tailLen = math.min(src.size, 16384L).toInt
-    var tail = src.read(src.size - tailLen, tailLen)
-    val psLen = tail(tail.length - 1) & 0xff
-    val ps = Meta.readPostScript(tail, tail.length - 1 - psLen, psLen)
-    require(ps.magic == "MOTH", s"bad magic '${ps.magic}'")
-    val kind = CompressionKind(ps.compression)
-    val need = (ps.footerLength + ps.metadataLength + psLen + 1).toInt
-    if (need > tail.length) tail = src.read(src.size - need, need)
-    val footerStart = tail.length - 1 - psLen - ps.footerLength.toInt
-    val footerBytes = Chunked.decompress(kind, tail, footerStart, ps.footerLength.toInt,
-      ps.compressionBlockSize.toInt)
-    val f = Meta.readFooter(footerBytes)
-    val metaStart = footerStart - ps.metadataLength.toInt
-    val metaBytes = Chunked.decompress(kind, tail, metaStart, ps.metadataLength.toInt,
-      ps.compressionBlockSize.toInt)
-    (ps, f, Meta.readMetadata(metaBytes))
+    val t = if (preParsed != null) preParsed else parseTail(src)
+    (t.postScript, t.footer, t.stripeStats)
   }
 
   val compression: CompressionKind.Value = CompressionKind(postScript.compression)
@@ -358,11 +345,59 @@ final class MothFileReader(src: ByteSource, opts: ReaderOpts = ReaderOpts()) {
   def close(): Unit = src.close()
 }
 
+final case class ParsedTail(postScript: Meta.PostScriptMsg, footer: Meta.FooterMsg,
+    stripeStats: Seq[Seq[ColStats]])
+
 object MothFileReader {
   def fromBytes(bytes: Array[Byte], opts: ReaderOpts = ReaderOpts()): MothFileReader =
     new MothFileReader(new ArraySource(bytes), opts)
   def fromPath(path: String, opts: ReaderOpts = ReaderOpts()): MothFileReader =
     new MothFileReader(new FileSource(path), opts)
+
+  def parseTail(src: ByteSource): ParsedTail = {
+    val tailLen = math.min(src.size, 16384L).toInt
+    var tail = src.read(src.size - tailLen, tailLen)
+    val psLen = tail(tail.length - 1) & 0xff
+    val ps = Meta.readPostScript(tail, tail.length - 1 - psLen, psLen)
+    require(ps.magic == "MOTH", s"bad magic '${ps.magic}'")
+    val kind = CompressionKind(ps.compression)
+    val need = (ps.footerLength + ps.metadataLength + psLen + 1).toInt
+    if (need > tail.length) tail = src.read(src.size - need, need)
+    val footerStart = tail.length - 1 - psLen - ps.footerLength.toInt
+    val footerBytes = Chunked.decompress(kind, tail, footerStart, ps.footerLength.toInt,
+      ps.compressionBlockSize.toInt)
+    val f = Meta.readFooter(footerBytes)
+    val metaStart = footerStart - ps.metadataLength.toInt
+    val metaBytes = Chunked.decompress(kind, tail, metaStart, ps.metadataLength.toInt,
+      ps.compressionBlockSize.toInt)
+    ParsedTail(ps, f, Meta.readMetadata(metaBytes))
+  }
+
+  /** Per-JVM LRU of parsed file tails keyed (path, size, mtime) — the
+    * reference's CachingMothDataSource analog for the planning-heavy part:
+    * a DSv2 query otherwise re-reads and re-parses each file tail for
+    * schema inference, split planning, statistics and every partition
+    * reader. Thread-safe; bounded at 1024 entries (tails are a few KB).
+    */
+  private val tailCache =
+    new java.util.LinkedHashMap[String, ParsedTail](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, ParsedTail]): Boolean = size() > 1024
+    }
+
+  /** Open a file reader, serving the tail parse from the cache. */
+  def fromPathCached(path: String, opts: ReaderOpts = ReaderOpts()): MothFileReader = {
+    val f = new java.io.File(path)
+    val key = s"$path:${f.length()}:${f.lastModified()}"
+    val cached = tailCache.synchronized(tailCache.get(key))
+    if (cached != null) new MothFileReader(new FileSource(path), opts, cached)
+    else {
+      val rd = new MothFileReader(new FileSource(path), opts)
+      val parsed = ParsedTail(rd.postScript, rd.footer, rd.stripeStatsPerStripe)
+      tailCache.synchronized(tailCache.put(key, parsed))
+      rd
+    }
+  }
 
   /** Column ids covered by a nested projection: struct levels keep only the
     * name-matched subfields (types come from the FILE schema — the

@@ -63,7 +63,7 @@ object MothTable {
   }
 
   def schemaOf(files: Seq[String]): StructType = {
-    val rd = MothFileReader.fromPath(files.head)
+    val rd = MothFileReader.fromPathCached(files.head)
     try SparkBridge.toSparkSchema(rd.schema)
     finally rd.close()
   }
@@ -253,7 +253,7 @@ class MothScan(path: String, required: StructType, predicate: StatsPredicate,
   override def planInputPartitions(): Array[InputPartition] = {
     val targetBytes = maxPartitionBytes
     MothTable.listFiles(path).flatMap { f =>
-      val rd = MothFileReader.fromPath(f)
+      val rd = MothFileReader.fromPathCached(f)
       try {
         val stripes = rd.footer.stripes
         if (stripes.isEmpty) Seq(MothInputPartition(f, 0L, Long.MaxValue))
@@ -289,7 +289,7 @@ class MothScan(path: String, required: StructType, predicate: StatsPredicate,
     var rows = 0L
     var bytes = 0L
     MothTable.listFiles(path).foreach { f =>
-      val rd = MothFileReader.fromPath(f)
+      val rd = MothFileReader.fromPathCached(f)
       try {
         rows += rd.rowCount
         bytes += rd.footer.contentLength
@@ -316,7 +316,7 @@ case class MothReaderFactory(required: StructType, predicate: StatsPredicate)
 
 class MothPartitionReader(part: MothInputPartition, required: StructType,
     predicate: StatsPredicate) extends PartitionReader[InternalRow] {
-  private val reader = MothFileReader.fromPath(part.file)
+  private val reader = MothFileReader.fromPathCached(part.file)
   private val rows: Iterator[InternalRow] = reader
     .batchesProjected(
       // NESTED projection: Spark's nested schema pruning hands a pruned
