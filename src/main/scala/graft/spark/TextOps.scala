@@ -162,9 +162,12 @@ object TextOps {
   }
 
   /** SimHash near-dup pairs within a hamming radius, via 4×16-bit band keys
-    * (exact for radius ≤ 3 by pigeonhole).
+    * (exact for radius ≤ 3 by pigeonhole). Hot buckets (e.g. a spam cluster
+    * collapsing to one simhash) are dropped by a count pre-pass BEFORE the
+    * self-join — without it one pathological key makes the join quadratic.
     */
-  def simHashPairs(spark: SparkSession, docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simHashPairs(spark: SparkSession, docs: DataFrame, maxHamming: Int = 3,
+      maxBucket: Int = 256): DataFrame = {
     import spark.implicits._
     val hashes = docs.filter(col("text").isNotNull)
       .select("doc_id", "text").as[(Long, String)]
@@ -176,8 +179,13 @@ object TextOps {
         struct(lit(b).as("band"), shiftrightunsigned(col("sh"), b * 16)
           .bitwiseAND(lit(0xffffL)).as("key"))): _*)).as("bk"))
       .select(col("doc_id"), col("sh"), col("bk.band"), col("bk.key"))
-    val a = bands.select(col("band"), col("key"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val b = bands.select(col("band"), col("key"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    val okBuckets = bands.groupBy("band", "key")
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz").between(2, maxBucket))
+      .select("band", "key")
+    val keep = bands.join(okBuckets, Seq("band", "key"))
+    val a = keep.select(col("band"), col("key"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = keep.select(col("band"), col("key"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
     a.join(b, Seq("band", "key"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),

@@ -67,6 +67,17 @@ object MothTable {
     try SparkBridge.toSparkSchema(rd.schema)
     finally rd.close()
   }
+
+  /** Driver-side per-file planning parallelism: footer reads are IO-bound
+    * and independent — a 100k-file table must not plan serially.
+    */
+  def parFiles(path: String): scala.collection.parallel.ParSeq[String] = {
+    import scala.collection.parallel.CollectionConverters._
+    val par = listFiles(path).par
+    par.tasksupport = new scala.collection.parallel.ExecutionContextTaskSupport(
+      scala.concurrent.ExecutionContext.global)
+    par
+  }
 }
 
 class MothTable(path: String, tableSchema: StructType) extends Table
@@ -252,7 +263,7 @@ class MothScan(path: String, required: StructType, predicate: StatsPredicate,
     */
   override def planInputPartitions(): Array[InputPartition] = {
     val targetBytes = maxPartitionBytes
-    MothTable.listFiles(path).flatMap { f =>
+    MothTable.parFiles(path).flatMap { f =>
       val rd = MothFileReader.fromPathCached(f)
       try {
         val stripes = rd.footer.stripes
@@ -286,16 +297,12 @@ class MothScan(path: String, required: StructType, predicate: StatsPredicate,
     * (broadcast-join thresholds at 100TB depend on this).
     */
   override def estimateStatistics(): Statistics = {
-    var rows = 0L
-    var bytes = 0L
-    MothTable.listFiles(path).foreach { f =>
+    val perFile = MothTable.parFiles(path).map { f =>
       val rd = MothFileReader.fromPathCached(f)
-      try {
-        rows += rd.rowCount
-        bytes += rd.footer.contentLength
-      } finally rd.close()
-    }
-    val (r, b) = (rows, bytes)
+      try (rd.rowCount, rd.footer.contentLength)
+      finally rd.close()
+    }.seq
+    val (r, b) = (perFile.map(_._1).sum, perFile.map(_._2).sum)
     new Statistics {
       override def sizeInBytes() = java.util.OptionalLong.of(b)
       override def numRows() = java.util.OptionalLong.of(r)

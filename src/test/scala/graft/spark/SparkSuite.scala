@@ -202,6 +202,20 @@ class SparkSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("*(1) Project [vec_dot"), s"expected codegen span:\n$plan")
   }
 
+  test("simhash de-skew: spam cluster contributes no pairs, distinct near-pair survives") {
+    val s = spark
+    import s.implicits._
+    val spam = (0L until 5000L).map(i => (i, "identical spam text for the simhash bucket " * 6))
+    val pair = Seq(
+      (20001L, "some distinct long document about columnar encoders and stripes " * 6),
+      (20002L, "some distinct long document about columnar encoders and stripes " * 6))
+    val docs = (spam ++ pair).toDF("doc_id", "text")
+    val pairs = TextOps.simHashPairs(spark, docs).collect()
+    assert(pairs.exists(r => r.getLong(0) == 20001L && r.getLong(1) == 20002L))
+    assert(!pairs.exists(r => r.getLong(0) < 5000L),
+      "spam bucket (size 5000 > cap) must contribute no pairs")
+  }
+
   test("transcripts roundtrip: per-turn text equality under stable ordering") {
     val df = TranscriptGen.transcripts(spark, 30000, seed = 42L, partitions = 4)
     val back = MothSpark.roundtrip(df, CompressionKind.ZLIB)
