@@ -101,6 +101,15 @@ object MothType {
   }
   final case class TDecimal(precision: Int, scale: Int) extends MothType(14)
   case object TDate extends MothType(15)
+
+  /** TIME-of-day. No ORC kind exists: it travels as a LONG column of
+    * microseconds-since-midnight tagged `iceberg.long-type=TIME` — the
+    * Iceberg-ORC convention the reference dispatches on
+    * (pkg/store/ColumnReaders.go:15, TimeColumnWriter.go:30-32). ColVec
+    * carries NANOS-of-day (Spark TimeType's internal representation);
+    * writer/reader convert at the stream boundary.
+    */
+  case object TTime extends MothType(4)
   final case class TVarchar(maxLen: Int) extends MothType(16)
   final case class TChar(len: Int) extends MothType(17)
   case object TTimestampInstant extends MothType(18)

@@ -46,6 +46,8 @@ object ColumnWriter {
         case MothType.TShort | MothType.TInt | MothType.TLong =>
           new LongColumnWriter(id, isDate = false, opts.bloomFor(path))
         case MothType.TDate => new LongColumnWriter(id, isDate = true, opts.bloomFor(path))
+        case MothType.TTime =>
+          new LongColumnWriter(id, isDate = false, opts.bloomFor(path), nanosToMicros = true)
         case MothType.TFloat => new FloatColumnWriter(id)
         case MothType.TDouble => new DoubleColumnWriter(id)
         case MothType.TTimestamp | MothType.TTimestampInstant =>
@@ -177,8 +179,8 @@ abstract class PrimitiveColumnWriter(val columnId: Int) extends ColumnWriter {
 /** SHORT/INT/LONG (and DATE via days): PRESENT + DATA RLEv2 signed, DIRECT_V2
   * — /root/reference/pkg/store/LongColumnWriter.go.
   */
-final class LongColumnWriter(id: Int, isDate: Boolean, bloomOpt: Option[BloomSpec])
-    extends PrimitiveColumnWriter(id) {
+final class LongColumnWriter(id: Int, isDate: Boolean, bloomOpt: Option[BloomSpec],
+    nanosToMicros: Boolean = false) extends PrimitiveColumnWriter(id) {
   bloomSpec = bloomOpt
   private var data = new RleV2Writer(signed = true)
   private val intStats = new IntStatsBuilder
@@ -191,7 +193,9 @@ final class LongColumnWriter(id: Int, isDate: Boolean, bloomOpt: Option[BloomSpe
     while (i < v.len) {
       if (v.isNull(i)) statsBuilder.recordNull()
       else {
-        val x = v.longs(i)
+        // TIME: vec carries nanos-of-day, disk stores micros (stats/bloom
+        // see the on-disk value) — TimeColumnWriter.go:30-32 semantics
+        val x = if (nanosToMicros) v.longs(i) / 1000L else v.longs(i)
         data.writeLong(x)
         if (isDate) dateStats.add(x.toInt) else intStats.add(x)
         if (bloom != null) bloom.addLong(x)

@@ -24,7 +24,8 @@ object Meta {
       statistics: Seq[ColStats], rowIndexStride: Int,
       userMetadata: Map[String, Array[Byte]] = Map.empty)
   final case class TypeMsg(kind: Int, subtypes: Seq[Int], fieldNames: Seq[String],
-      maximumLength: Int = 0, precision: Int = 0, scale: Int = 0)
+      maximumLength: Int = 0, precision: Int = 0, scale: Int = 0,
+      attributes: Map[String, String] = Map.empty)
   final case class PostScriptMsg(footerLength: Long, compression: Int,
       compressionBlockSize: Long, version: Seq[Long], metadataLength: Long,
       writerVersion: Long, magic: String)
@@ -45,7 +46,14 @@ object Meta {
         case MothType.TDecimal(p, s) => (0, p, s)
         case _ => (0, 0, 0)
       }
-      out(my) = TypeMsg(t.kind, kids, t.fieldNames, maxLen, prec, scale)
+      // TIME travels as a LONG column tagged with the Iceberg-ORC type
+      // attribute, exactly how the reference dispatches its TimeColumnReader
+      // (/root/reference/pkg/store/ColumnReaders.go:15)
+      val attrs = t match {
+        case MothType.TTime => Map("iceberg.long-type" -> "TIME")
+        case _ => Map.empty[String, String]
+      }
+      out(my) = TypeMsg(t.kind, kids, t.fieldNames, maxLen, prec, scale, attrs)
       my
     }
     walk(root)
@@ -60,7 +68,9 @@ object Meta {
         case 1 => MothType.TByte
         case 2 => MothType.TShort
         case 3 => MothType.TInt
-        case 4 => MothType.TLong
+        case 4 =>
+          if (t.attributes.get("iceberg.long-type").contains("TIME")) MothType.TTime
+          else MothType.TLong
         case 5 => MothType.TFloat
         case 6 => MothType.TDouble
         case 7 => MothType.TString
@@ -379,6 +389,12 @@ object Meta {
       if (t.maximumLength != 0) Pb.writeVarint(m, 4, t.maximumLength.toLong)
       if (t.precision != 0) Pb.writeVarint(m, 5, t.precision.toLong)
       if (t.scale != 0) Pb.writeVarint(m, 6, t.scale.toLong)
+      t.attributes.toSeq.sortBy(_._1).foreach { case (k, v) =>
+        val a = new ByteBuf(8 + k.length + v.length)
+        Pb.writeString(a, 1, k)
+        Pb.writeString(a, 2, v)
+        Pb.writeMessage(m, 7, a)
+      }
       Pb.writeMessage(b, 4, m)
     }
     f.userMetadata.toSeq.sortBy(_._1).foreach { case (k, v) =>
@@ -425,6 +441,7 @@ object Meta {
         var subtypes = Array.empty[Long]
         val names = new ArrayBuffer[String]
         var maxLen = 0; var prec = 0; var scale = 0
+        val attrs = scala.collection.mutable.Map[String, String]()
         m.foreachField {
           case (1, _) => kind = m.readVarint().toInt
           case (2, Pb.WireBytes) => subtypes = m.readPackedVarints()
@@ -433,9 +450,19 @@ object Meta {
           case (4, _) => maxLen = m.readVarint().toInt
           case (5, _) => prec = m.readVarint().toInt
           case (6, _) => scale = m.readVarint().toInt
+          case (7, _) =>
+            val a = m.readMessage()
+            var k = ""; var v = ""
+            a.foreachField {
+              case (1, _) => k = a.readString()
+              case (2, _) => v = a.readString()
+              case (_, w) => a.skipField(w)
+            }
+            attrs(k) = v
           case (_, w) => m.skipField(w)
         }
-        types += TypeMsg(kind, subtypes.map(_.toInt).toSeq, names.toSeq, maxLen, prec, scale)
+        types += TypeMsg(kind, subtypes.map(_.toInt).toSeq, names.toSeq, maxLen, prec,
+          scale, attrs.toMap)
       case (5, _) =>
         val m = r.readMessage()
         var k = ""

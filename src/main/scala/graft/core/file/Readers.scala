@@ -48,6 +48,7 @@ object ColumnReader {
         case MothType.TByte => new ByteColumnReader(my)
         case MothType.TShort | MothType.TInt | MothType.TLong | MothType.TDate =>
           new LongColumnReader(my)
+        case MothType.TTime => new LongColumnReader(my, microsToNanos = true)
         case MothType.TFloat => new FloatColumnReader(my)
         case MothType.TDouble => new DoubleColumnReader(my)
         case MothType.TTimestamp | MothType.TTimestampInstant => new TimestampColumnReader(my)
@@ -114,7 +115,8 @@ abstract class PrimitiveColumnReader(val columnId: Int) extends ColumnReader {
   protected def seekValues(pc: PositionCursor): Unit
 }
 
-final class LongColumnReader(id: Int) extends PrimitiveColumnReader(id) {
+final class LongColumnReader(id: Int, microsToNanos: Boolean = false)
+    extends PrimitiveColumnReader(id) {
   private var data: RleV2Reader = null
   protected def startValues(s: StripeStreams): Unit =
     data = new RleV2Reader(new ByteRd(s(id, StreamKind.Data).getOrElse(Array.empty)), signed = true)
@@ -129,6 +131,11 @@ final class LongColumnReader(id: Int) extends PrimitiveColumnReader(id) {
       data.next(tmp, 0, nonNull)
       var i = 0; var j = 0
       while (i < n) { if (!v.nulls(i)) { v.longs(i) = tmp(j); j += 1 }; i += 1 }
+    }
+    if (microsToNanos) {
+      // TIME: disk stores micros-of-day, the vec carries Spark's nanos
+      var i = 0
+      while (i < n) { v.longs(i) = v.longs(i) * 1000L; i += 1 }
     }
     v
   }

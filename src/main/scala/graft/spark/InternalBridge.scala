@@ -31,7 +31,8 @@ object InternalBridge {
     case IntegerType | DateType => new LongAppender(cap, (g, i) => g.getInt(i).toLong)
     // TimestampType / TimestampNTZType are both micros-since-epoch longs
     // in the internal representation — no object round-trip.
-    case LongType | TimestampType | TimestampNTZType =>
+    // TIME is a nanos-of-day long internally (Spark 4.1 TimeType)
+    case LongType | TimestampType | TimestampNTZType | _: TimeType =>
       new LongAppender(cap, (g, i) => g.getLong(i))
     case FloatType => new DoubleAppender(cap, (g, i) => g.getFloat(i).toDouble)
     case DoubleType => new DoubleAppender(cap, (g, i) => g.getDouble(i))

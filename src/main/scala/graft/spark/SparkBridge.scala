@@ -24,6 +24,7 @@ object SparkBridge {
     case DateType => TDate
     case TimestampType => TTimestampInstant
     case TimestampNTZType => TTimestamp
+    case _: TimeType => TTime
     case d: DecimalType => TDecimal(d.precision, d.scale)
     case a: ArrayType => TList(toMothType(a.elementType))
     case m: MapType => TMap(toMothType(m.keyType), toMothType(m.valueType))
@@ -47,6 +48,7 @@ object SparkBridge {
     case TDate => DateType
     case TTimestampInstant => TimestampType
     case TTimestamp => TimestampNTZType
+    case TTime => TimeType()
     case TDecimal(p, s) => DecimalType(p, s)
     case TList(e) => ArrayType(toSparkType(e))
     case TMap(k, v) => MapType(toSparkType(k), toSparkType(v))
@@ -146,6 +148,16 @@ object SparkBridge {
           j += 1
         }
         v.longs = a
+      case _: TimeType =>
+        val a = new Array[Long](n)
+        var j = 0
+        while (j < n) {
+          if (!nulls(j)) a(j) = get(j) match {
+            case t: java.time.LocalTime => t.toNanoOfDay
+          }
+          j += 1
+        }
+        v.longs = a
       case TimestampType | TimestampNTZType =>
         val a = new Array[Long](n)
         var j = 0
@@ -234,6 +246,8 @@ object SparkBridge {
           t.setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt)
           t
         }
+      case _: TimeType => j =>
+        if (v.isNull(j)) null else java.time.LocalTime.ofNanoOfDay(v.longs(j))
       case TimestampNTZType => j =>
         if (v.isNull(j)) null
         else {
@@ -306,7 +320,7 @@ object SparkBridge {
       case ByteType => j => if (v.isNull(j)) null else v.longs(j).toByte
       case ShortType => j => if (v.isNull(j)) null else v.longs(j).toShort
       case IntegerType | DateType => j => if (v.isNull(j)) null else v.longs(j).toInt
-      case LongType | TimestampType | TimestampNTZType =>
+      case LongType | TimestampType | TimestampNTZType | _: TimeType =>
         j => if (v.isNull(j)) null else v.longs(j)
       case FloatType => j => if (v.isNull(j)) null else v.doubles(j).toFloat
       case DoubleType => j => if (v.isNull(j)) null else v.doubles(j)

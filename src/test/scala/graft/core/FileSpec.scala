@@ -275,6 +275,36 @@ class FileSpec extends AnyFunSuite {
     assert(MothFileReader.fromBytes(bytes).rowCount == 0)
   }
 
+  test("TIME roundtrip: nanos-of-day in, micros on disk, iceberg type attribute") {
+    val n = 5000
+    val schema = TStruct(Seq("t" -> (TTime: MothType)))
+    val v = new ColVec(n)
+    val c = new ColVec(n)
+    c.nulls = Array.tabulate(n)(_ % 13 == 0)
+    // micro-aligned nanos (Spark TimeType precision 6): i-th microsecond of day
+    c.longs = Array.tabulate(n)(i => (i.toLong * 7919L % 86400000000L) * 1000L)
+    v.children = Array(c)
+    val bos = new ByteArrayOutputStream()
+    val w = new MothFileWriter(bos, schema, CompressionKind.ZLIB)
+    w.write(v)
+    w.close()
+    val rd = MothFileReader.fromBytes(bos.toByteArray)
+    // schema survives the footer: kind LONG + iceberg.long-type=TIME → TTime
+    assert(rd.schema.fields.head._2 == TTime, s"got ${rd.schema.fields.head._2}")
+    val out = rd.batches().toSeq
+    assert(out.map(_.len).sum == n)
+    var row = 0
+    out.foreach { b =>
+      (0 until b.len).foreach { i =>
+        val col = b.children(0)
+        assert(col.isNull(i) == (row % 13 == 0), s"null at $row")
+        if (!col.isNull(i))
+          assert(col.longs(i) == c.longs(row), s"time at $row")
+        row += 1
+      }
+    }
+  }
+
   test("UNION roundtrip: tags, per-alternative values, nulls, pruning seek") {
     // union<long, string> with nulls; expanded struct shape at the API
     val n = 10000

@@ -21,6 +21,7 @@ class SparkSuite extends AnyFunSuite with BeforeAndAfterAll {
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.timeType.enabled", "true") // TIME is preview in 4.1
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -200,6 +201,25 @@ class SparkSuite extends AnyFunSuite with BeforeAndAfterAll {
     // "*(n) Project [vec_dot...]" = the projection runs inside
     // WholeStageCodegen stage n
     assert(plan.contains("*(1) Project [vec_dot"), s"expected codegen span:\n$plan")
+  }
+
+  test("TIME type: Spark TimeType column roundtrips through moth write/read") {
+    val df = spark.sql(
+      """SELECT id,
+        |  cast(concat(lpad(cast(id % 24 AS string), 2, '0'), ':',
+        |              lpad(cast(id % 60 AS string), 2, '0'), ':',
+        |              lpad(cast(id % 60 AS string), 2, '0'), '.123456') AS time) AS tm,
+        |  CASE WHEN id % 7 = 0 THEN NULL ELSE
+        |    cast(concat('0', cast(id % 10 AS string), ':30:00') AS time) END AS tm2
+        |FROM range(0, 1000)""".stripMargin)
+    val d = tmpDir() + "/time"
+    df.write.format("moth").mode("append").save(d)
+    val back = spark.read.format("moth").load(d)
+    assert(back.schema("tm").dataType.typeName.startsWith("time"),
+      s"expected TIME, got ${back.schema("tm").dataType}")
+    val a = df.orderBy("id").collect().toSeq
+    val b = back.orderBy("id").collect().toSeq
+    assert(a == b, "TIME roundtrip mismatch")
   }
 
   test("simhash de-skew: spam cluster contributes no pairs, distinct near-pair survives") {
