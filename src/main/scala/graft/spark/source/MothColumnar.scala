@@ -1,0 +1,117 @@
+package graft.spark.source
+
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.vectorized.{ColumnarArray, ColumnarMap, ColumnVector}
+import org.apache.spark.unsafe.types.UTF8String
+import graft.core.columns.ColVec
+
+/** Zero-copy ColumnVector view over a decoded [[ColVec]] batch — the moth
+  * scan hands Spark whole columnar batches and Catalyst's (codegen'd)
+  * ColumnarToRow does the row materialization only where the plan needs
+  * rows, exactly like the built-in parquet vectorized reader.
+  *
+  * ColVec stores nested children DENSELY over non-null parent rows while
+  * Spark's ColumnarRow/getStruct address children at PARENT row ids, so a
+  * nullable struct's child vectors carry a precomputed row→dense indirection
+  * (`map`); null rows are never dereferenced (callers check isNullAt first).
+  */
+final class MothVector(dt: DataType, v: ColVec, map: Array[Int] = null)
+    extends ColumnVector(dt) {
+
+  @inline private def at(rowId: Int): Int = if (map == null) rowId else map(rowId)
+
+  override def close(): Unit = ()
+  override def hasNull: Boolean = v.nulls != null
+  override def numNulls: Int = {
+    if (v.nulls == null) return 0
+    var c = 0
+    var i = 0
+    while (i < v.len) { if (v.nulls(i)) c += 1; i += 1 }
+    c
+  }
+  override def isNullAt(rowId: Int): Boolean = {
+    val j = at(rowId)
+    j < 0 || v.isNull(j)
+  }
+
+  override def getBoolean(rowId: Int): Boolean = v.longs(at(rowId)) != 0
+  override def getByte(rowId: Int): Byte = v.longs(at(rowId)).toByte
+  override def getShort(rowId: Int): Short = v.longs(at(rowId)).toShort
+  override def getInt(rowId: Int): Int = v.longs(at(rowId)).toInt
+  override def getLong(rowId: Int): Long = v.longs(at(rowId))
+  override def getFloat(rowId: Int): Float = v.doubles(at(rowId)).toFloat
+  override def getDouble(rowId: Int): Double = v.doubles(at(rowId))
+
+  override def getUTF8String(rowId: Int): UTF8String = {
+    val j = at(rowId)
+    if (v.isNull(j)) null else UTF8String.fromBytes(v.bins(j))
+  }
+  override def getBinary(rowId: Int): Array[Byte] = {
+    val j = at(rowId)
+    if (v.isNull(j)) null else v.bins(j)
+  }
+
+  override def getDecimal(rowId: Int, precision: Int, scale: Int): Decimal = {
+    val j = at(rowId)
+    if (v.isNull(j)) null
+    else if (precision <= 18) Decimal(v.longs(j), precision, scale)
+    else Decimal(new java.math.BigDecimal(v.bigs(j).bigInteger, scale), precision, scale)
+  }
+
+  // ---- nested ----
+  private lazy val denseStarts: Array[Int] = {
+    // element start offset per THIS-VEC row (lists/maps)
+    val out = new Array[Int](v.len)
+    var acc = 0
+    var i = 0
+    while (i < v.len) {
+      out(i) = acc
+      if (!v.isNull(i)) acc += v.lengths(i)
+      i += 1
+    }
+    out
+  }
+
+  private lazy val childVectors: Array[ColumnVector] = dt match {
+    case s: StructType =>
+      // children are dense over non-null rows of THIS vec; compose the
+      // parent indirection with this level's dense positions
+      val childMap: Array[Int] =
+        if (v.nulls == null && map == null) null
+        else {
+          val densePos = new Array[Int](v.len)
+          var acc = 0
+          var i = 0
+          while (i < v.len) {
+            densePos(i) = if (v.isNull(i)) -1 else acc
+            if (!v.isNull(i)) acc += 1
+            i += 1
+          }
+          if (map == null) densePos
+          else Array.tabulate(map.length)(r => if (map(r) < 0) -1 else densePos(map(r)))
+        }
+      s.fields.zipWithIndex.map { case (f, i) =>
+        new MothVector(f.dataType, v.children(i), childMap): ColumnVector
+      }.toArray
+    case a: ArrayType =>
+      Array(new MothVector(a.elementType, v.children(0)): ColumnVector)
+    case m: MapType =>
+      Array(new MothVector(m.keyType, v.children(0)): ColumnVector,
+        new MothVector(m.valueType, v.children(1)): ColumnVector)
+    case _ => Array.empty
+  }
+
+  override def getChild(ordinal: Int): ColumnVector = childVectors(ordinal)
+
+  override def getArray(rowId: Int): ColumnarArray = {
+    val j = at(rowId)
+    if (v.isNull(j)) null
+    else new ColumnarArray(childVectors(0), denseStarts(j), v.lengths(j))
+  }
+
+  override def getMap(rowId: Int): ColumnarMap = {
+    val j = at(rowId)
+    if (v.isNull(j)) null
+    else new ColumnarMap(childVectors(0), childVectors(1), denseStarts(j), v.lengths(j))
+  }
+}

@@ -319,6 +319,45 @@ case class MothReaderFactory(required: StructType, predicate: StatsPredicate)
     val p = partition.asInstanceOf[MothInputPartition]
     new MothPartitionReader(p, required, predicate)
   }
+
+  // vectorized scan: hand Spark whole ColumnarBatch views over decoded
+  // ColVec batches; Catalyst's codegen'd ColumnarToRow materializes rows
+  // only where the plan needs them (parquet-reader style)
+  override def supportColumnarReads(partition: InputPartition): Boolean = true
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val p = partition.asInstanceOf[MothInputPartition]
+    new MothColumnarPartitionReader(p, required, predicate)
+  }
+}
+
+class MothColumnarPartitionReader(part: MothInputPartition, required: StructType,
+    predicate: StatsPredicate)
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+  import org.apache.spark.sql.vectorized.{ColumnarBatch, ColumnVector}
+  private val reader = MothFileReader.fromPathCached(part.file)
+  private val vecs = reader.batchesProjected(
+    if (required.isEmpty)
+      graft.core.columns.MothType.TStruct(Seq(reader.schema.fields.head))
+    else SparkBridge.toMothStruct(required),
+    predicate = predicate,
+    split = Some((part.start, part.end)))
+
+  private var current: ColumnarBatch = _
+  override def next(): Boolean = {
+    if (!vecs.hasNext) return false
+    val v = vecs.next()
+    val cols: Array[ColumnVector] =
+      if (required.isEmpty) Array.empty
+      else required.fields.zipWithIndex.map { case (f, i) =>
+        new MothVector(f.dataType, v.children(i)): ColumnVector
+      }.toArray
+    current = new ColumnarBatch(cols, v.len)
+    true
+  }
+  override def get(): ColumnarBatch = current
+  override def close(): Unit = reader.close()
 }
 
 class MothPartitionReader(part: MothInputPartition, required: StructType,

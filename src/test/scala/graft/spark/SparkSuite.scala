@@ -203,6 +203,31 @@ class SparkSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("*(1) Project [vec_dot"), s"expected codegen span:\n$plan")
   }
 
+  test("columnar scan: vectorized batches equal row decode, incl. nested types") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(6)
+    val df = (0 until 2000).map { i =>
+      val tags = if (i % 9 == 0) null else (0 to rnd.nextInt(3)).map(k => s"t$k-${rnd.nextInt(5)}")
+      val m = if (i % 11 == 0) null else Map(s"k${i % 3}" -> i.toLong)
+      val st = if (i % 7 == 0) null else (i.toLong * 3, s"name-$i")
+      (i.toLong, s"text-$i-${rnd.nextInt(100)}", rnd.nextDouble(), tags, m, st)
+    }.toDF("id", "txt", "score", "tags", "m", "st")
+    val d = tmpDir() + "/col"
+    df.write.format("moth").mode("append").save(d)
+    val back = spark.read.format("moth").load(d)
+    // plan must consume the scan columnar (ColumnarToRow over BatchScan)
+    val q = back.orderBy("id")
+    val rows = q.collect().toSeq
+    val expect = df.orderBy("id").collect().toSeq
+    assert(rows == expect, "columnar scan decode mismatch")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"), s"expected columnar scan consumption:\n$plan")
+    // aggregates over the columnar path too
+    val agg = back.agg(sum("id"), count(lit(1))).collect().head
+    assert(agg.getLong(0) == (0L until 2000L).sum && agg.getLong(1) == 2000L)
+  }
+
   test("TIME type: Spark TimeType column roundtrips through moth write/read") {
     val df = spark.sql(
       """SELECT id,
