@@ -257,6 +257,9 @@ object SparkEntry {
     }),
     "ann_lsh_recall" -> ((s, d) => {
       graft.spark.TextOps.lshPlantedRecall(s, read(s, d, "embeddings"))
+    }),
+    "ann_ivf_recall" -> ((s, d) => {
+      graft.spark.TextOps.ivfPlantedRecall(s, read(s, d, "embeddings"))
     })
   )
 
@@ -376,6 +379,11 @@ object SparkEntry {
     // table, so the planted set is deterministically recalled — the
     // expected output is static
     "ann_lsh_recall" ->
+      """SELECT vec_id AS qid, cast(1 AS bigint) AS planted_recalled
+        |FROM embeddings WHERE vec_id < 5 ORDER BY qid""".stripMargin,
+    // identical vector ⇒ identical nearest centroid ⇒ inside the probed
+    // lists of its query — static expected output, like the LSH oracle
+    "ann_ivf_recall" ->
       """SELECT vec_id AS qid, cast(1 AS bigint) AS planted_recalled
         |FROM embeddings WHERE vec_id < 5 ORDER BY qid""".stripMargin
   )

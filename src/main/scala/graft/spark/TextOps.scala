@@ -316,6 +316,99 @@ object TextOps {
       }.toDF("vec_id", "table", "bucket")
   }
 
+  /** IVF (inverted-file) ANN — the second scale path next to LSH: a coarse
+    * k-means quantizer assigns every vector to its nearest centroid's
+    * "list"; a query probes only its nProbe nearest centroids' lists. The
+    * quantizer trains driver-side with seeded Lloyd iterations on a small
+    * deterministic sample (the model is tiny — centroids × dim doubles);
+    * assignment and search are fully distributed.
+    */
+  def ivfCentroids(spark: SparkSession, emb: DataFrame, nCentroids: Int = 16,
+      iters: Int = 5, sampleN: Int = 512): Array[Array[Double]] = {
+    import spark.implicits._
+    val sample = emb.filter(col("embedding").isNotNull)
+      .select("vec_id", "embedding").as[(Long, Seq[Float])]
+      .orderBy("vec_id").limit(sampleN).collect().map(_._2.toArray.map(_.toDouble))
+    require(sample.nonEmpty, "empty embedding table")
+    var cents = Array.tabulate(math.min(nCentroids, sample.length))(i =>
+      sample(i * sample.length / math.min(nCentroids, sample.length)).clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(cents.length, cents(0).length)(0.0)
+      val counts = new Array[Int](cents.length)
+      sample.foreach { v =>
+        val c = nearestCentroid(cents, v)
+        counts(c) += 1
+        var i = 0
+        while (i < v.length) { sums(c)(i) += v(i); i += 1 }
+      }
+      cents = cents.indices.map { c =>
+        if (counts(c) == 0) cents(c)
+        else sums(c).map(_ / counts(c))
+      }.toArray
+      it += 1
+    }
+    cents
+  }
+
+  private def nearestCentroid(cents: Array[Array[Double]], v: Array[Double]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      var d = 0.0
+      var i = 0
+      val cc = cents(c)
+      while (i < v.length) { val x = v(i) - cc(i); d += x * x; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** (vec_id, centroid) assignment — the IVF list membership. */
+  def ivfAssign(spark: SparkSession, emb: DataFrame,
+      cents: Array[Array[Double]]): DataFrame = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(cents)
+    emb.filter(col("embedding").isNotNull)
+      .select("vec_id", "embedding").as[(Long, Seq[Float])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.map { case (id, v) =>
+          val d = new Array[Double](v.length)
+          var i = 0
+          while (i < v.length) { d(i) = v(i).toDouble; i += 1 }
+          (id, nearestCentroid(cs, d))
+        }
+      }.toDF("vec_id", "centroid")
+  }
+
+  /** Oracle-checkable IVF recall: an exact-duplicate vector assigns to the
+    * SAME centroid as its query (deterministic first-wins tie-break), and a
+    * query always probes its own centroid first — so the planted duplicate
+    * is deterministically inside the probed lists.
+    */
+  def ivfPlantedRecall(spark: SparkSession, emb: DataFrame, nCentroids: Int = 16,
+      nProbe: Int = 4, nQueries: Int = 5): DataFrame = {
+    val planted = emb.filter(col("vec_id") < nQueries)
+      .withColumn("vec_id", col("vec_id") + 100000L)
+    val all = emb.unionByName(planted)
+    val cents = ivfCentroids(spark, emb, nCentroids)
+    val assigned = ivfAssign(spark, all, cents)
+    // a query's probe set always contains its own centroid; membership of
+    // the planted duplicate in the probed lists is what IVF search scans
+    val qAssign = assigned.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("centroid"))
+    val candidates = qAssign.join(assigned, Seq("centroid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select("qid", "vec_id")
+    emb.filter(col("vec_id") < nQueries).select(col("vec_id").as("qid"))
+      .join(candidates.filter(col("vec_id") === col("qid") + 100000L), Seq("qid"), "left")
+      .groupBy("qid").agg(count(col("vec_id")).as("planted_recalled"))
+      .orderBy("qid")
+  }
+
   /** Oracle-checkable ANN recall: plant an exact-duplicate vector
     * (vec_id + 100000) for each query. An identical vector lands in the
     * identical bucket of every table, so the planted duplicate is
