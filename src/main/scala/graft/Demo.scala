@@ -116,9 +116,29 @@ object Demo {
     }
     println(f"MOTH read: $row rows in $rSecs%.2fs (${row / rSecs}%,.0f rows/s), bit-identical=$ok")
 
-    val pruned = rd.batches(Some(Seq("turn_idx")),
-      StatsPredicate(Seq(LongRangePred("turn_idx", Some(45L), None)))).toSeq
-    println(s"pruned read (turn_idx>=45): ${pruned.map(_.len).sum} rows decoded of $n")
+    // selective pruned read on ts (monotone ⇒ tight row-group ranges):
+    // row groups outside the range are SEEKED past (no decode) and only
+    // the projected column's byte ranges are fetched
+    val tsLo = ts.longs(n / 2) / 1000L // ts stats are epoch millis
+    val tsHi = ts.longs(n / 2 + 999) / 1000L + 1
+    val rd2 = MothFileReader.fromPath(path,
+      ReaderOpts(maxMergeDistance = 0, tinyStripeThreshold = 0))
+    graft.core.rle.RleV2Reader.totalDecoded.reset()
+    graft.core.rle.RleV2Reader.instrumented = true
+    val pruned = try rd2.batches(Some(Seq("turn_idx", "ts")),
+        StatsPredicate(Seq(LongRangePred("ts", Some(tsLo), Some(tsHi))))).toSeq
+      finally graft.core.rle.RleV2Reader.instrumented = false
+    println(f"pruned projected read (ts range, 2 of 6 cols): " +
+      f"${pruned.map(_.len).sum}%,d rows decoded of $n%,d, " +
+      f"${graft.core.rle.RleV2Reader.totalDecoded.sum()}%,d RLE values decoded, " +
+      f"${rd2.bytesRead}%,d of ${res.bytes}%,d file bytes fetched")
+    rd2.close()
+
+    // nested projection + columnar surfaces are exercised in SparkSuite;
+    // here show the bloom path: role='assistant' exists, role='nope' prunes
+    val bloomHit = rd.batches(Some(Seq("role")),
+      StatsPredicate(Seq(StringEqPred("role", "nope")))).map(_.len).sum
+    println(s"bloom-pruned read (role='nope'): $bloomHit rows decoded (expect 0)")
 
     // probe: corrupt magic
     val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))

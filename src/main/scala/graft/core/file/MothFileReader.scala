@@ -102,6 +102,9 @@ final case class StatsPredicate(preds: Seq[ColPredicate]) {
             s.forall { st =>
               st.intStats.forall { is =>
                 lo.forall(_ <= is.max) && hi.forall(_ >= is.min)
+              } && st.tsStats.forall { case (minMs, maxMs) =>
+                // timestamp columns: range pred bounds are epoch MILLIS
+                lo.forall(_ <= maxMs) && hi.forall(_ >= minMs)
               }
             }
           case LongEqPred(_, v) =>

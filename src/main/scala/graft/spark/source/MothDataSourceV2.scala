@@ -7,7 +7,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources._
-import org.apache.spark.sql.types.{ByteType, DateType, IntegerType, LongType, ShortType, StringType, StructType}
+import org.apache.spark.sql.types.{ByteType, DateType, IntegerType, LongType, ShortType, StringType, StructType, TimestampNTZType, TimestampType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.sql.catalyst.InternalRow
 import graft.core.columns.WriterOpts
@@ -223,8 +223,24 @@ object MothFilters {
   private def isString(schema: StructType, col: String): Boolean =
     schema.find(_.name == col).exists(_.dataType == StringType)
 
+  private def isTimestamp(schema: StructType, col: String): Boolean =
+    schema.find(_.name == col).exists(f =>
+      f.dataType == TimestampType || f.dataType == TimestampNTZType)
+
   private def longOf(v: Any): Option[Long] = v match {
     case n: java.lang.Number => Some(n.longValue())
+    case _ => None
+  }
+
+  /** Timestamp filter value → epoch millis (the stats granularity).
+    * Truncation toward -∞ keeps lower bounds conservative; upper bounds
+    * add 1ms to stay conservative under sub-millisecond values.
+    */
+  private def millisOf(v: Any): Option[Long] = v match {
+    case t: java.sql.Timestamp => Some(t.getTime)
+    case i: java.time.Instant => Some(i.toEpochMilli)
+    case l: java.time.LocalDateTime =>
+      Some(l.toInstant(java.time.ZoneOffset.UTC).toEpochMilli)
     case _ => None
   }
 
@@ -241,6 +257,17 @@ object MothFilters {
       longOf(v).map(x => LongRangePred(c, None, Some(x - 1))).toSeq
     case LessThanOrEqual(c, v) if isIntFamily(schema, c) =>
       longOf(v).map(x => LongRangePred(c, None, Some(x))).toSeq
+    // timestamp ranges prune against per-group millis min/max stats
+    case GreaterThan(c, v) if isTimestamp(schema, c) =>
+      millisOf(v).map(x => LongRangePred(c, Some(x), None)).toSeq
+    case GreaterThanOrEqual(c, v) if isTimestamp(schema, c) =>
+      millisOf(v).map(x => LongRangePred(c, Some(x), None)).toSeq
+    case LessThan(c, v) if isTimestamp(schema, c) =>
+      millisOf(v).map(x => LongRangePred(c, None, Some(x + 1))).toSeq
+    case LessThanOrEqual(c, v) if isTimestamp(schema, c) =>
+      millisOf(v).map(x => LongRangePred(c, None, Some(x + 1))).toSeq
+    case EqualTo(c, v) if isTimestamp(schema, c) =>
+      millisOf(v).map(x => LongRangePred(c, Some(x), Some(x + 1))).toSeq
     case And(l, r) => toPreds(schema, l) ++ toPreds(schema, r)
     case _ => Nil
   }

@@ -203,6 +203,21 @@ class SparkSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("*(1) Project [vec_dot"), s"expected codegen span:\n$plan")
   }
 
+  test("DSv2 timestamp range pushdown prunes and stays correct") {
+    val d = tmpDir() + "/tsprune"
+    val df = TranscriptGen.transcripts(spark, 20000, seed = 12)
+      .orderBy("ts") // monotone ts ⇒ tight per-row-group ranges
+    MothSpark.writeFiles(df.repartitionByRange(2, col("ts")).sortWithinPartitions("ts"),
+      d, "tsprune", CompressionKind.ZLIB, WriterOpts(rowGroupMaxRowCount = 1000))
+    val bounds = df.selectExpr("min(ts)", "max(ts)").collect().head
+    val lo = new java.sql.Timestamp(
+      bounds.getAs[java.sql.Timestamp](0).getTime + 30L * 60 * 1000)
+    val back = spark.read.format("moth").load(d).filter(col("ts") >= lit(lo))
+    val expect = df.filter(col("ts") >= lit(lo))
+    assert(back.count() == expect.count())
+    assert(back.agg(min("ts")).collect().head == expect.agg(min("ts")).collect().head)
+  }
+
   test("columnar scan: vectorized batches equal row decode, incl. nested types") {
     val s = spark
     import s.implicits._
