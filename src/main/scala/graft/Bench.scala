@@ -302,8 +302,27 @@ object Bench {
     val eff = r32 / (4.0 * r8)
     val ratio = if (bytes8 == 0) 0.0 else raw8.toDouble / bytes8
 
-    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // Scaling-only runs carry no fresh query timings; keep the previous
+    // run's query section instead of blanking the committed baseline.
+    val prior: Seq[(String, Double)] =
+      if (results.nonEmpty) Nil
+      else {
+        val p = Paths.get("BENCH/BASELINE.md")
+        if (!Files.exists(p)) Nil
+        else Files.readString(p).linesIterator
+          .find(_.startsWith("Per-query seconds: "))
+          .map(_.stripPrefix("Per-query seconds: ").split(", ").toSeq
+            .flatMap { kv =>
+              kv.split("=") match {
+                case Array(k, v) => scala.util.Try(k -> v.toDouble).toOption
+                case _ => None
+              }
+            })
+          .getOrElse(Nil)
+      }
+    val effective = if (results.nonEmpty) results else prior
+    val qs = effective.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    val total = effective.map(_._2).sum
     val json =
       f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"sf":"$sfDir","""+
       f""""encode":{"turns":$benchTurns,"coresN":$scaleN,"tN":$t8%.2f,"t4N":$t32%.2f,"turnsPerSecN":$r8%.0f,"""+
@@ -354,7 +373,7 @@ object Bench {
          || compression ratio (raw/encoded) | $ratio%.2fx |
          || query total @ $sfDir | $total%.2f s |
          |
-         |Per-query seconds: ${results.map { case (k, v) => f"$k=$v%.2f" }.mkString(", ")}
+         |Per-query seconds: ${effective.map { case (k, v) => f"$k=$v%.2f" }.mkString(", ")}
          |""".stripMargin)
 
     // cleanup temp encode outputs
