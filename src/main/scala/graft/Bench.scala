@@ -17,6 +17,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus * 2)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.spark.GraftExtensions")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s

@@ -74,6 +74,7 @@ object BenchChild {
       .config("spark.io.compression.codec",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_CODEC", "lz4"))
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.spark.GraftExtensions")
     sys.env.getOrElse("SPARK_GRAFT_EXTRA_CONF", "").split(',').filter(_.contains('='))
       .foreach { kv => val Array(k, v) = kv.split("=", 2); builder.config(k, v) }
     val spark = builder.getOrCreate()

@@ -34,6 +34,7 @@ object EncodeJob {
       .config("spark.sql.shuffle.partitions", a.getOrElse("partitions", cpus))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.spark.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {

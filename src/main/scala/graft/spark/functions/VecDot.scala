@@ -13,19 +13,31 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * double(x) * double(y)), 0D, (s, v) -> s + v)` but with no per-pair array
   * allocation and full whole-stage codegen).
   *
+  * Exact composed semantics, including the edge cases: a length mismatch or
+  * a null element yields NULL (zip_with pads the shorter array with nulls,
+  * and one null product nulls the whole sum), so the optimizer rewrite in
+  * [[graft.spark.GraftExtensions]] is strictly semantics-preserving.
+  *
   * Replaces the composed built-in form on the ANN hot path: the composed
   * expression materializes a dim-sized intermediate array per PAIR, which at
   * a million comparisons is pure GC pressure; this expression reads both
   * ArrayData buffers in place. The scalar loop stays inside Tungsten codegen
   * (doGenCode below), so the broadcast-crossJoin ANN plan remains one
-  * WholeStageCodegen span.
+  * WholeStageCodegen span. The per-element null check is emitted only when
+  * the array type says elements can be null.
   */
 final case class VecDot(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true // ragged arrays yield NULL
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_dot"
+
+  private def elemsNullable(e: Expression): Boolean = e.dataType match {
+    case ArrayType(_, n) => n
+    case _ => true
+  }
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     (left.dataType, right.dataType) match {
@@ -41,10 +53,13 @@ final case class VecDot(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    val checkNulls = elemsNullable(left) || elemsNullable(right)
     var s = 0.0
     var i = 0
     while (i < n) {
+      if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
       s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
     }
@@ -56,13 +71,22 @@ final case class VecDot(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
+      val nullCheck =
+        if (elemsNullable(left) || elemsNullable(right))
+          s"if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += (double) $x.getFloat($i) * (double) $y.getFloat($i);
+         |int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
+         |    $s += (double) $x.getFloat($i) * (double) $y.getFloat($i);
+         |  }
+         |  ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 

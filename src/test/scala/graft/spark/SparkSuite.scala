@@ -23,6 +23,7 @@ class SparkSuite extends AnyFunSuite with BeforeAndAfterAll {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.timeType.enabled", "true") // TIME is preview in 4.1
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.spark.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
   }
@@ -201,6 +202,56 @@ class SparkSuite extends AnyFunSuite with BeforeAndAfterAll {
     // "*(n) Project [vec_dot...]" = the projection runs inside
     // WholeStageCodegen stage n
     assert(plan.contains("*(1) Project [vec_dot"), s"expected codegen span:\n$plan")
+  }
+
+  test("GraftExtensions: vec_dot SQL function + optimizer rewrite of the composed idiom") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(21)
+    // edge cases the rewrite must preserve: ragged pair (id 3), null element
+    // (id 5), null array (id 7), empty arrays (id 9)
+    val rows = (0 until 200).map { i =>
+      val dim = if (i == 3) 48 else if (i == 9) 0 else 64
+      val a = if (i == 7) null
+              else Array.fill[java.lang.Float](64)(rnd.nextFloat() * 2 - 1)
+      val b = {
+        val arr = Array.fill[java.lang.Float](dim)(rnd.nextFloat() * 2 - 1)
+        if (i == 5 && dim > 0) arr(17) = null
+        arr
+      }
+      (i, a, b)
+    }
+    // repartition blocks ConvertToLocalRelation from eagerly folding the
+    // projection — otherwise the optimized plan is a bare LocalRelation and
+    // there is nothing left to rewrite
+    rows.toDF("id", "a", "b").repartition(2).createOrReplaceTempView("vecs")
+    val composedSql =
+      "aggregate(zip_with(a, b, (x, y) -> cast(x AS double) * cast(y AS double)), 0D, (s, v) -> s + v)"
+    // 1. SQL-callable vec_dot resolves via the injected function registry
+    val both = spark.sql(
+      s"SELECT id, vec_dot(a, b) AS fast, $composedSql AS slow FROM vecs ORDER BY id")
+    both.collect().foreach { r =>
+      val (fn, sn) = (r.isNullAt(1), r.isNullAt(2))
+      assert(fn == sn, s"null parity at id ${r.getInt(0)}: fast=$fn slow=$sn")
+      if (!fn) assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(2)),
+        s"value mismatch at id ${r.getInt(0)}")
+    }
+    // 2. the injected rule rewrites the composed idiom to vec_dot
+    val q = spark.sql(s"SELECT id, $composedSql AS dot FROM vecs")
+    val optimized = q.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("vec_dot"),
+      s"expected RewriteDotProduct to fire:\n$optimized")
+    assert(!optimized.contains("aggregate("),
+      s"composed aggregate should be gone:\n$optimized")
+    // and the rewritten plan computes the same thing
+    val viaRewrite = q.orderBy("id").collect()
+    val viaVecDot = spark.sql("SELECT id, vec_dot(a, b) AS dot FROM vecs ORDER BY id").collect()
+    viaRewrite.zip(viaVecDot).foreach { case (x, y) =>
+      assert(x.isNullAt(1) == y.isNullAt(1))
+      if (!x.isNullAt(1)) assert(java.lang.Double.doubleToLongBits(x.getDouble(1)) ==
+        java.lang.Double.doubleToLongBits(y.getDouble(1)))
+    }
   }
 
   test("DSv2 timestamp range pushdown prunes and stays correct") {
