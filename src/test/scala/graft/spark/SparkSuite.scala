@@ -252,6 +252,18 @@ class SparkSuite extends AnyFunSuite with BeforeAndAfterAll {
       if (!x.isNullAt(1)) assert(java.lang.Double.doubleToLongBits(x.getDouble(1)) ==
         java.lang.Double.doubleToLongBits(y.getDouble(1)))
     }
+    // 3. near-miss idioms must NOT be rewritten: nonzero init, a sum (not
+    // product) element function, a subtracting merge, a non-identity finish
+    Seq(
+      "aggregate(zip_with(a, b, (x, y) -> cast(x AS double) * cast(y AS double)), 1D, (s, v) -> s + v)",
+      "aggregate(zip_with(a, b, (x, y) -> cast(x AS double) + cast(y AS double)), 0D, (s, v) -> s + v)",
+      "aggregate(zip_with(a, b, (x, y) -> cast(x AS double) * cast(y AS double)), 0D, (s, v) -> s - v)",
+      "aggregate(zip_with(a, b, (x, y) -> cast(x AS double) * cast(y AS double)), 0D, (s, v) -> s + v, s -> s * 2)"
+    ).foreach { nearMiss =>
+      val p = spark.sql(s"SELECT $nearMiss AS r FROM vecs")
+        .queryExecution.optimizedPlan.toString
+      assert(!p.contains("vec_dot"), s"rewrite misfired on: $nearMiss\n$p")
+    }
   }
 
   test("DSv2 timestamp range pushdown prunes and stays correct") {
