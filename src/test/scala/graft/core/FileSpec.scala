@@ -4,7 +4,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import java.io.ByteArrayOutputStream
 import graft.core.columns._
 import graft.core.columns.MothType._
-import graft.core.compress.CompressionKind
+import graft.core.compress.{Chunked, CompressionKind}
 import graft.core.file._
 import graft.core.stats.BloomFilter
 
@@ -783,5 +783,59 @@ class FileSpec extends AnyFunSuite {
     assert(encodeNanos(999999999L) == (999999999L << 3))
     for (ns <- Seq(0L, 1L, 10L, 100L, 1000L, 123456789L, 999999999L, 500000000L, 123000000L, 120000000L))
       assert(decodeNanos(encodeNanos(ns)) == ns, s"nanos $ns")
+  }
+
+  test("corrupt inputs fail fast, never hang: garbage file, truncated tail, zlib bombs") {
+    val (schema, vec) = makeVec(500, 7, 31)
+    val (bytes, _) = roundtrip(schema, Seq(vec), CompressionKind.ZLIB)
+
+    // arbitrary non-MOTH bytes: postscript parse / magic check must throw
+    intercept[Exception] {
+      MothFileReader.fromBytes(Array.fill[Byte](100)(42)).batches().toSeq
+    }
+    // truncated tail (drop the last 5 bytes: psLen byte + postscript suffix)
+    intercept[Exception] {
+      MothFileReader.fromBytes(bytes.dropRight(5)).batches().toSeq
+    }
+    // flip the magic characters inside the postscript — the file must be
+    // rejected at open, not misparsed. Magic sits just before the final
+    // psLen byte's postscript region; corrupt the whole postscript span.
+    val badMagic = bytes.clone()
+    val psLen = badMagic(badMagic.length - 1) & 0xff
+    for (i <- (badMagic.length - 1 - psLen) until (badMagic.length - 1))
+      badMagic(i) = 'X'.toByte
+    intercept[Exception] {
+      MothFileReader.fromBytes(badMagic).batches().toSeq
+    }
+
+    // a zlib chunk that inflates past the decompress scratch buffer must
+    // raise IOException instead of spinning (Chunked.ZlibCodec guard): one
+    // framed chunk whose uncompressed size (300 KB) exceeds the declared
+    // 256 KB chunk size
+    val big = new Array[Byte](300 * 1024) // zeros compress tiny
+    val defl = new java.util.zip.Deflater(4, true) // raw deflate, like the codec
+    defl.setInput(big); defl.finish()
+    val comp = new Array[Byte](64 * 1024)
+    val clen = defl.deflate(comp)
+    assert(defl.finished() && clen > 0 && clen < comp.length)
+    val framed = new graft.core.io.ByteBuf(clen + 3)
+    val hdr = clen << 1 // isOriginal=0
+    framed.writeByte((hdr & 0xff).toByte)
+    framed.writeByte(((hdr >> 8) & 0xff).toByte)
+    framed.writeByte(((hdr >> 16) & 0xff).toByte)
+    framed.writeBytes(comp, 0, clen)
+    val ex = intercept[java.io.IOException] {
+      Chunked.decompress(CompressionKind.ZLIB, framed.toArray, 0, framed.size,
+        Chunked.DefaultChunkSize)
+    }
+    assert(ex.getMessage.contains("inflates past buffer"), ex.getMessage)
+
+    // truncated zlib payload inside a valid frame: EOF, not a spin
+    val good = new graft.core.io.ByteBuf(1024)
+    Chunked.compress(CompressionKind.ZLIB, big, 0, 4096, good)
+    intercept[Exception] {
+      Chunked.decompress(CompressionKind.ZLIB, good.toArray, 0, good.size - 6,
+        Chunked.DefaultChunkSize)
+    }
   }
 }
