@@ -239,9 +239,19 @@ object TextOps {
     * native VecDot expression. Pairs with cosine ≥ threshold, doc_a < doc_b.
     */
   def embeddingCosinePairs(spark: SparkSession, emb: DataFrame,
-      threshold: Double = 0.99, planes: Int = 8, tables: Int = 4): DataFrame = {
+      threshold: Double = 0.99, planes: Int = 8, tables: Int = 4,
+      maxBucket: Int = 256): DataFrame = {
     import graft.spark.functions.VecDot
-    val keyed = lshBuckets(spark, emb, planes, tables)
+    val raw = lshBuckets(spark, emb, planes, tables)
+    // De-skew (same shape as minHashPairs): a hot bucket — e.g. a corpus
+    // full of identical embeddings — makes the bucket self-join quadratic.
+    // Count pre-aggregate drops oversized buckets before any join, so no
+    // task ever sees more than maxBucket² candidate pairs per bucket.
+    val okBuckets = raw.groupBy("table", "bucket")
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz").between(2, maxBucket))
+      .select("table", "bucket")
+    val keyed = raw.join(okBuckets, Seq("table", "bucket"))
     val pairs = keyed.select(col("table"), col("bucket"), col("vec_id").as("id_a"))
       .join(keyed.select(col("table"), col("bucket"), col("vec_id").as("id_b")),
         Seq("table", "bucket"))

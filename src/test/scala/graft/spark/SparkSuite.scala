@@ -174,6 +174,27 @@ class SparkSuite extends AnyFunSuite with BeforeAndAfterAll {
       "spam bucket (size 10000 > cap) must contribute no pairs")
   }
 
+  test("embedding-cosine de-skew: hot LSH bucket contributes no pairs, planted dup recovered") {
+    val s = spark
+    import s.implicits._
+    // 3000 identical spam embeddings (ids < 10000) land in the same bucket
+    // of every LSH table; without the bucket cap the self-join generates
+    // ~9M candidate pairs from that one bucket
+    val spamVec = Array.fill(16)(0.5f)
+    val rnd = new scala.util.Random(5)
+    val distinct = Array.fill(16)(rnd.nextFloat() * 2 - 1)
+    val rows =
+      (0 until 3000).map(i => (i.toLong, spamVec)) ++
+        Seq((20001L, distinct), (20002L, distinct.clone())) ++
+        (0 until 50).map(i => (30000L + i, Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val pairs = TextOps.embeddingCosinePairs(spark, emb).collect()
+    assert(pairs.exists(r => r.getLong(0) == 20001L && r.getLong(1) == 20002L),
+      "planted exact-dup pair must be recovered")
+    assert(!pairs.exists(r => r.getLong(0) < 10000L),
+      "hot bucket (size 3000 > cap) must contribute no pairs")
+  }
+
   test("VecDot expression: bit-identical to composed built-ins, null-safe, codegen") {
     val s = spark
     import s.implicits._
