@@ -86,7 +86,7 @@ class MothTable(path: String, tableSchema: StructType) extends Table
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new MothScanBuilder(path, tableSchema,
@@ -319,6 +319,10 @@ class MothScan(path: String, required: StructType, predicate: StatsPredicate,
 
   override def createReaderFactory(): PartitionReaderFactory =
     MothReaderFactory(required, predicate)
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new MothMicroBatchStream(path, required, predicate)
 
   /** Footer-derived stats — lets Catalyst see table size without a scan
     * (broadcast-join thresholds at 100TB depend on this).
