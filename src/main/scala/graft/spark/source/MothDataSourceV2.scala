@@ -90,7 +90,8 @@ class MothTable(path: String, tableSchema: StructType) extends Table
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new MothScanBuilder(path, tableSchema,
-      Option(options.get("maxPartitionBytes")).map(_.toLong).getOrElse(128L << 20))
+      Option(options.get("maxPartitionBytes")).map(_.toLong).getOrElse(128L << 20),
+      Option(options.get("maxFilesPerTrigger")).map(_.toInt))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new MothWriteBuilder(path, info.schema(), info.queryId(),
@@ -185,7 +186,8 @@ class MothDataWriter(path: String, schema: StructType, queryId: String,
   override def close(): Unit = ()
 }
 
-class MothScanBuilder(path: String, fullSchema: StructType, maxPartitionBytes: Long = 128L << 20)
+class MothScanBuilder(path: String, fullSchema: StructType,
+    maxPartitionBytes: Long = 128L << 20, maxFilesPerTrigger: Option[Int] = None)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var required: StructType = fullSchema
@@ -207,7 +209,7 @@ class MothScanBuilder(path: String, fullSchema: StructType, maxPartitionBytes: L
   override def build(): Scan =
     new MothScan(path, required,
       StatsPredicate(pushed.flatMap(f => MothFilters.toPreds(fullSchema, f)).toSeq),
-      maxPartitionBytes)
+      maxPartitionBytes, maxFilesPerTrigger)
 }
 
 /** Spark Filter → engine ColPredicate (conservative subset). */
@@ -274,7 +276,7 @@ object MothFilters {
 }
 
 class MothScan(path: String, required: StructType, predicate: StatsPredicate,
-    maxPartitionBytes: Long = 128L << 20)
+    maxPartitionBytes: Long = 128L << 20, maxFilesPerTrigger: Option[Int] = None)
     extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
@@ -322,7 +324,7 @@ class MothScan(path: String, required: StructType, predicate: StatsPredicate,
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new MothMicroBatchStream(path, required, predicate)
+    new MothMicroBatchStream(path, required, predicate, maxFilesPerTrigger)
 
   /** Footer-derived stats — lets Catalyst see table size without a scan
     * (broadcast-join thresholds at 100TB depend on this).

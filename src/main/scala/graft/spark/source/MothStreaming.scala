@@ -1,7 +1,7 @@
 package graft.spark.source
 
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types.StructType
 import graft.core.file.StatsPredicate
 
@@ -17,14 +17,22 @@ import graft.core.file.StatsPredicate
   * epoch-id MOTH sink (graft.spark.StreamingEncode) for end-to-end
   * exactly-once file streaming.
   *
+  * Admission control: `option("maxFilesPerTrigger", n)` caps each
+  * micro-batch at n new files — at 100 TB a backlog of 100k files must
+  * drain as bounded batches, not one giant one. Under
+  * `Trigger.AvailableNow` the end file set is snapshotted at query start
+  * (SupportsTriggerAvailableNow) and drained in maxFiles-sized batches.
+  *
   * Files must be immutable once visible (the MOTH writers rename
   * task-attempt-private tmp files into place atomically, so a query watching
-  * a MOTH output directory never sees a partial file). At 100 TB the offset
-  * grows with the file count — names only, ~50 B per file — which matches
-  * what Spark's own file source keeps in its file-stream log.
+  * a MOTH output directory never sees a partial file). The offset grows with
+  * the file count — names only, ~50 B per file — which matches what Spark's
+  * own file source keeps in its file-stream log.
   */
 class MothMicroBatchStream(path: String, required: StructType,
-    predicate: StatsPredicate) extends MicroBatchStream {
+    predicate: StatsPredicate, maxFilesPerTrigger: Option[Int] = None)
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
 
   private def currentFiles(): Seq[String] = {
     val d = new java.io.File(path)
@@ -32,8 +40,36 @@ class MothMicroBatchStream(path: String, required: StructType,
     if (fs == null) Nil else fs.map(_.getName).toSeq.sorted
   }
 
+  /** Trigger.AvailableNow end-bound: everything visible at query start. */
+  @volatile private var availableNowCap: Option[Set[String]] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(currentFiles().toSet)
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
+
   override def initialOffset(): Offset = MothStreamOffset(Nil)
-  override def latestOffset(): Offset = MothStreamOffset(currentFiles())
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called instead of this method")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val seen = start.asInstanceOf[MothStreamOffset].files.toSet
+    val visible = availableNowCap match {
+      case Some(cap) => currentFiles().filter(cap)
+      case None => currentFiles()
+    }
+    val fresh = visible.filterNot(seen)
+    val take = limit match {
+      case m: ReadMaxFiles => fresh.take(m.maxFiles())
+      case _ => fresh
+    }
+    MothStreamOffset((seen ++ take).toSeq.sorted)
+  }
+
+  override def reportLatestOffset(): Offset = MothStreamOffset(currentFiles())
+
   override def deserializeOffset(json: String): Offset =
     MothStreamOffset(MothStreamOffset.parse(json))
   override def commit(end: Offset): Unit = ()

@@ -174,6 +174,64 @@ class SparkSuite extends AnyFunSuite with BeforeAndAfterAll {
       "spam bucket (size 10000 > cap) must contribute no pairs")
   }
 
+  test("streaming moth source: new files per micro-batch, exactly-once across restart") {
+    val s = spark
+    import s.implicits._
+    val dir = tmpDir()
+    val ckpt = tmpDir()
+    val b1 = (0 until 1000).map(i => (i.toLong, s"turn-$i"))
+    b1.toDF("id", "text").repartition(2).write.format("moth").mode("append").save(dir)
+    val schema = spark.read.format("moth").load(dir).schema
+    // memory sink can't recover from a checkpoint; foreachBatch can
+    def runOnce(): Seq[Long] = {
+      val buf = new scala.collection.mutable.ArrayBuffer[Long]()
+      val q = spark.readStream.format("moth").schema(schema).load(dir)
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          val ids = df.select("id").collect().map(_.getLong(0))
+          buf.synchronized { buf ++= ids }; ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      buf.synchronized(buf.toSeq.sorted)
+    }
+    val got1 = runOnce()
+    assert(got1 == (0L until 1000L), s"first run: all initial rows once, got ${got1.length}")
+    // second file batch; a restart from the same checkpoint must read ONLY
+    // the new files (exactly-once per file across restarts)
+    val b2 = (1000 until 1500).map(i => (i.toLong, s"turn-$i"))
+    b2.toDF("id", "text").repartition(1).write.format("moth").mode("append").save(dir)
+    val got2 = runOnce()
+    assert(got2 == (1000L until 1500L),
+      s"restart must deliver only the new files' rows, got ${got2.length}")
+    // offset round-trip survives exotic file names
+    val names = Seq("a\"b\\c.moth", "plain.moth")
+    assert(graft.spark.source.MothStreamOffset.parse(
+      graft.spark.source.MothStreamOffset(names).json()) == names)
+    // admission control: maxFilesPerTrigger=1 over 3 files drains as 3
+    // bounded micro-batches even under AvailableNow
+    val dir2 = tmpDir()
+    (0 until 300).map(i => (i.toLong, s"t$i")).toDF("id", "text")
+      .repartition(3).write.format("moth").mode("append").save(dir2)
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val rows = new java.util.concurrent.atomic.AtomicLong(0)
+    val q = spark.readStream.format("moth").schema(schema)
+      .option("maxFilesPerTrigger", "1").load(dir2)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val n = df.count()
+        if (n > 0) { batches.incrementAndGet(); rows.addAndGet(n) }; ()
+      }
+      .option("checkpointLocation", tmpDir())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(batches.get() == 3, s"expected 3 single-file micro-batches, got ${batches.get()}")
+    assert(rows.get() == 300L)
+  }
+
   test("embedding-cosine de-skew: hot LSH bucket contributes no pairs, planted dup recovered") {
     val s = spark
     import s.implicits._
