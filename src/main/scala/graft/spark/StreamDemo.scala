@@ -12,7 +12,7 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object StreamDemo {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
+    val spark: SparkSession = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
@@ -48,6 +48,28 @@ object StreamDemo {
     writeWave(10000, 12500)
     val run2 = streamOnce()
     println(s"run1=$run1 run2=$run2 exactlyOnce=${run1 == 10000L && run2 == 2500L}")
+
+    // stateful ops drive: sessionize a three-batch transcript stream
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    implicit val turnEnc: org.apache.spark.sql.Encoder[TranscriptGen.Turn] =
+      org.apache.spark.sql.Encoders.product[TranscriptGen.Turn]
+    val in = MemoryStream[TranscriptGen.Turn]
+    val q = StreamingOps.sessionize(spark, in.toDF(), gapMs = 60000L)
+      .writeStream.format("memory").queryName("demo_sessions")
+      .outputMode("append").start()
+    def t(conv: String, i: Int, sec: Long) = TranscriptGen.Turn(conv, i, "user",
+      s"t$i", "", new java.sql.Timestamp(1700000000000L + sec * 1000))
+    in.addData(t("cA", 0, 0), t("cA", 1, 5), t("cB", 0, 2))
+    q.processAllAvailable()
+    in.addData(t("cC", 0, 600))
+    q.processAllAvailable()
+    in.addData(t("cC", 1, 610))
+    q.processAllAvailable()
+    q.stop()
+    val closed = spark.sql("SELECT conv_id, turns FROM demo_sessions ORDER BY conv_id")
+      .collect().map(r => s"${r.getString(0)}:${r.getLong(1)}").mkString(",")
+    println(s"closedSessions=$closed")
     spark.stop()
   }
 }

@@ -174,6 +174,53 @@ class SparkSuite extends AnyFunSuite with BeforeAndAfterAll {
       "spam bucket (size 10000 > cap) must contribute no pairs")
   }
 
+  test("stateful streaming: watermarked windowed agg + flatMapGroupsWithState sessionizer") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    implicit val turnEnc: org.apache.spark.sql.Encoder[TranscriptGen.Turn] =
+      org.apache.spark.sql.Encoders.product[TranscriptGen.Turn]
+    val s = spark
+    import s.implicits._
+    def turn(conv: String, idx: Int, role: String, tsSec: Long) =
+      TranscriptGen.Turn(conv, idx, role, s"text-$idx", "", new java.sql.Timestamp(tsSec * 1000))
+    val t0 = 1700000000L // fixed epoch base
+
+    // windowed agg: roles split across two 5-min windows; a later batch
+    // advances the watermark past window 1 so append mode emits it
+    val in1 = MemoryStream[TranscriptGen.Turn]
+    val q1 = StreamingOps.turnsPerWindow(in1.toDF())
+      .writeStream.format("memory").queryName("win_agg").outputMode("append").start()
+    in1.addData(turn("c1", 0, "user", t0), turn("c1", 1, "assistant", t0 + 10),
+      turn("c2", 0, "user", t0 + 20))
+    q1.processAllAvailable()
+    in1.addData(turn("c3", 0, "user", t0 + 3600)) // 1h later: watermark passes window 1
+    q1.processAllAvailable()
+    in1.addData(turn("c3", 1, "user", t0 + 3610)) // watermark applies next batch
+    q1.processAllAvailable()
+    q1.stop()
+    val win = spark.sql("SELECT role, turns FROM win_agg ORDER BY role").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(win == Seq(("assistant", 1L), ("user", 2L)),
+      s"window-1 counts per role, got $win")
+
+    // sessionizer: conv closes after a 60s event-time gap, summary emitted
+    // once with exact turn count and bounds
+    val in2 = MemoryStream[TranscriptGen.Turn]
+    val q2 = StreamingOps.sessionize(spark, in2.toDF(), gapMs = 60000L)
+      .writeStream.format("memory").queryName("sessions").outputMode("append").start()
+    in2.addData(turn("cA", 0, "user", t0), turn("cA", 1, "assistant", t0 + 5),
+      turn("cB", 0, "user", t0 + 2))
+    q2.processAllAvailable()
+    in2.addData(turn("cC", 0, "user", t0 + 600)) // 10 min later
+    q2.processAllAvailable()
+    in2.addData(turn("cC", 1, "user", t0 + 610)) // lets the new watermark fire timeouts
+    q2.processAllAvailable()
+    q2.stop()
+    val sess = spark.sql("SELECT conv_id, turns FROM sessions ORDER BY conv_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(sess == Seq(("cA", 2L), ("cB", 1L)), s"closed conversations, got $sess")
+  }
+
   test("streaming moth source: new files per micro-batch, exactly-once across restart") {
     val s = spark
     import s.implicits._
