@@ -176,6 +176,19 @@ object SparkEntry {
         .orderBy("l_returnflag", "l_linestatus")
     }),
 
+    // footer-only aggregate pushdown: count/min/max answered from file
+    // statistics with zero data bytes scanned (MothAggScan)
+    "dsv2_agg_orders" -> ((s, d) => {
+      val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft-dsv2a-${Integer.toHexString(d.hashCode)}/orders").getAbsolutePath
+      read(s, d, "orders").write.format("moth").mode("overwrite").save(out)
+      s.read.format("moth").load(out)
+        .agg(count(lit(1)).as("n"),
+          min("o_orderkey").cast("long").as("min_key"),
+          max("o_orderkey").cast("long").as("max_key"),
+          count("o_orderstatus").as("n_status"))
+    }),
+
     // — training-data ops (shared SQL text with the oracle) —
     "dedup_exact" -> ((s, d) => bySql(s, d, Seq("documents"), DedupExactSql)),
     "text_quality" -> ((s, d) => bySql(s, d, Seq("documents"), TextQualitySql)),
@@ -347,6 +360,10 @@ object SparkEntry {
         |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "dsv2_agg_orders" ->
+      """SELECT count(*) AS n, cast(min(o_orderkey) AS bigint) AS min_key,
+        |  cast(max(o_orderkey) AS bigint) AS max_key,
+        |  count(o_orderstatus) AS n_status FROM orders""".stripMargin,
     "dedup_exact" -> DedupExactSql,
     "text_quality" -> TextQualitySql,
     "lang_id" -> LangIdSql,

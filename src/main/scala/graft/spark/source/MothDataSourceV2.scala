@@ -188,10 +188,123 @@ class MothDataWriter(path: String, schema: StructType, queryId: String,
 
 class MothScanBuilder(path: String, fullSchema: StructType,
     maxPartitionBytes: Long = 128L << 20, maxFilesPerTrigger: Option[Int] = None)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
+  private var aggPush: Option[(StructType, Array[Long])] = None
+
+  /** COUNT(*) / COUNT(col) / MIN / MAX answered from file footers — zero
+    * data bytes scanned. Only COMPLETE pushdown (one exact row), only when
+    * no filter reached the scan (file stats describe unfiltered files), and
+    * only over types whose stats are exact: the integer family and DATE.
+    * String min/max is NOT eligible — the 64-byte stats truncation
+    * (MothWriterOptions.go:9) makes it a bound, not a value.
+    */
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    computeMemo(agg).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    aggPush = computeMemo(agg)
+    aggPush.isDefined
+  }
+
+  // Spark probes supportCompletePushDown then pushes the same Aggregation —
+  // fold the footers once, not twice
+  private var aggMemo: Option[(AnyRef, Option[(StructType, Array[Long])])] = None
+  private def computeMemo(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(StructType, Array[Long])] = aggMemo match {
+    case Some((k, r)) if k eq agg => r
+    case _ =>
+      val r = computeAgg(agg)
+      aggMemo = Some((agg, r))
+      r
+  }
+
+  private def computeAgg(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(StructType, Array[Long])] = {
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    if (agg.groupByExpressions.nonEmpty || pushed.nonEmpty ||
+        agg.aggregateExpressions.isEmpty) return None
+
+    def topLevel(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case nr: NamedReference if nr.fieldNames.length == 1 => Some(nr.fieldNames.head)
+        case _ => None
+      }
+    def statType(name: String): Option[org.apache.spark.sql.types.DataType] =
+      fullSchema.find(_.name == name).map(_.dataType).filter {
+        case ByteType | ShortType | IntegerType | LongType | DateType => true
+        case _ => false
+      }
+
+    sealed trait Req
+    case object CountAll extends Req
+    case class CountCol(name: String) extends Req
+    case class MinMax(name: String, dt: org.apache.spark.sql.types.DataType, isMin: Boolean) extends Req
+
+    val reqs: Array[Option[(Req, org.apache.spark.sql.types.DataType)]] =
+      agg.aggregateExpressions.map {
+        case _: CountStar => Some((CountAll, LongType))
+        case c: Count if !c.isDistinct =>
+          topLevel(c.column).map(n => (CountCol(n), LongType))
+        case m: Min =>
+          for (n <- topLevel(m.column); dt <- statType(n)) yield (MinMax(n, dt, isMin = true), dt)
+        case m: Max =>
+          for (n <- topLevel(m.column); dt <- statType(n)) yield (MinMax(n, dt, isMin = false), dt)
+        case _ => None
+      }
+    if (reqs.exists(_.isEmpty)) return None
+
+    // fold footers (tails are cached per JVM); bail if any file lacks exact
+    // stats for a requested column
+    val perFile = MothTable.parFiles(path).map { f =>
+      val rd = MothFileReader.fromPathCached(f)
+      try {
+        val vals = reqs.map(_.get._1).map {
+          case CountAll => Some(rd.rowCount)
+          case CountCol(n) =>
+            rd.columnIdOf(n).flatMap(rd.fileStats.lift).map(_.numValues)
+          case MinMax(n, dt, isMin) =>
+            rd.columnIdOf(n).flatMap(rd.fileStats.lift).flatMap { s =>
+              if (s.numValues == 0) None // all-null file: no bound to offer
+              else dt match {
+                case DateType => s.dateStats.map(d => (if (isMin) d._1 else d._2).toLong)
+                case _ => s.intStats.map(i => if (isMin) i.min else i.max)
+              }
+            }
+        }
+        (rd.rowCount, vals)
+      } finally rd.close()
+    }.seq
+
+    val out = new Array[Long](reqs.length)
+    reqs.map(_.get._1).zipWithIndex.foreach { case (req, i) =>
+      req match {
+        case CountAll | _: CountCol =>
+          val vs = perFile.map(_._2(i))
+          if (vs.exists(_.isEmpty)) return None
+          out(i) = vs.map(_.get).sum
+        case MinMax(_, _, isMin) =>
+          // an all-null FILE contributes no bound and is fine to skip (nulls
+          // never win min/max); a column null in EVERY file would need a
+          // NULL result — leave that case to the normal scan
+          val vs = perFile.flatMap(_._2(i))
+          if (vs.isEmpty) return None
+          out(i) = if (isMin) vs.min else vs.max
+      }
+    }
+    val schema = StructType(reqs.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.types.StructField(s"agg_$i", r.get._2, nullable = false)
+    })
+    Some((schema, out))
+  }
 
   /** Accept what the stats/bloom pruner understands; EVERYTHING stays a
     * residual (return all) because stats pruning only skips impossible
@@ -206,10 +319,52 @@ class MothScanBuilder(path: String, fullSchema: StructType,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan =
-    new MothScan(path, required,
-      StatsPredicate(pushed.flatMap(f => MothFilters.toPreds(fullSchema, f)).toSeq),
-      maxPartitionBytes, maxFilesPerTrigger)
+  override def build(): Scan = aggPush match {
+    case Some((schema, values)) => new MothAggScan(path, schema, values)
+    case None =>
+      new MothScan(path, required,
+        StatsPredicate(pushed.flatMap(f => MothFilters.toPreds(fullSchema, f)).toSeq),
+        maxPartitionBytes, maxFilesPerTrigger)
+  }
+}
+
+/** Scan for a completely-pushed aggregate: one partition, one exact row,
+  * values already folded from file footers — zero data bytes read.
+  */
+class MothAggScan(path: String, aggSchema: StructType, values: Array[Long])
+    extends Scan with Batch {
+  override def readSchema(): StructType = aggSchema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"MothAggScan(path=$path, aggs=${aggSchema.fieldNames.mkString(",")})"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(MothAggPartition(aggSchema, values))
+  override def createReaderFactory(): PartitionReaderFactory = MothAggReaderFactory
+}
+
+case class MothAggPartition(schema: StructType, values: Array[Long]) extends InputPartition
+
+object MothAggReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[MothAggPartition]
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = if (emitted) false else { emitted = true; true }
+      override def get(): InternalRow = {
+        val vals: Array[Any] = p.schema.fields.zip(p.values).map {
+          case (f, v) => f.dataType match {
+            case LongType => v
+            case IntegerType | DateType => v.toInt
+            case ShortType => v.toShort
+            case ByteType => v.toByte
+            case dt => throw new IllegalStateException(s"unexpected agg type $dt")
+          }
+        }
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
+      }
+      override def close(): Unit = ()
+    }
+  }
 }
 
 /** Spark Filter → engine ColPredicate (conservative subset). */

@@ -174,6 +174,34 @@ class SparkSuite extends AnyFunSuite with BeforeAndAfterAll {
       "spam bucket (size 10000 > cap) must contribute no pairs")
   }
 
+  test("aggregate pushdown: count/min/max answered from footers, zero data scan") {
+    val s = spark
+    import s.implicits._
+    val dir = tmpDir()
+    val rows = (0 until 5000).map(i => (i.toLong, 10000 - i, if (i % 7 == 0) null else s"d-$i"))
+    rows.toDF("id", "score", "tag").repartition(3)
+      .write.format("moth").mode("append").save(dir)
+    val df = spark.read.format("moth").load(dir)
+    val q = df.agg(count(lit(1)).as("n"), min("id").as("min_id"), max("id").as("max_id"),
+      min("score").as("min_s"), max("score").as("max_s"), count("tag").as("n_tag"))
+    val row = q.head()
+    assert(row.getLong(0) == 5000L && row.getLong(1) == 0L && row.getLong(2) == 4999L)
+    assert(row.getInt(3) == 5001 && row.getInt(4) == 10000)
+    assert(row.getLong(5) == rows.count(_._3 != null))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("MothAggScan"), s"expected footer-only agg scan:\n$plan")
+    // with a filter the stats no longer describe the scanned rows — the
+    // pushdown must NOT fire and the answer must come from a real scan
+    val qf = df.filter(col("id") >= 4000L).agg(count(lit(1)), max("score"))
+    val rf = qf.head()
+    assert(rf.getLong(0) == 1000L && rf.getInt(1) == 6000)
+    assert(!qf.queryExecution.executedPlan.toString.contains("MothAggScan"))
+    // string min/max is stats-truncated (64B limit) — must not push
+    val qs = df.agg(min("tag"))
+    assert(!qs.queryExecution.executedPlan.toString.contains("MothAggScan"))
+    assert(qs.head().getString(0) == rows.flatMap(r => Option(r._3)).min)
+  }
+
   test("stateful streaming: watermarked windowed agg + flatMapGroupsWithState sessionizer") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
