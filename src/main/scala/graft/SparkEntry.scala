@@ -186,7 +186,8 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           min("o_orderkey").cast("long").as("min_key"),
           max("o_orderkey").cast("long").as("max_key"),
-          count("o_orderstatus").as("n_status"))
+          count("o_orderstatus").as("n_status"),
+          sum("o_orderkey").cast("long").as("sum_key"))
     }),
 
     // — training-data ops (shared SQL text with the oracle) —
@@ -363,7 +364,8 @@ object SparkEntry {
     "dsv2_agg_orders" ->
       """SELECT count(*) AS n, cast(min(o_orderkey) AS bigint) AS min_key,
         |  cast(max(o_orderkey) AS bigint) AS max_key,
-        |  count(o_orderstatus) AS n_status FROM orders""".stripMargin,
+        |  count(o_orderstatus) AS n_status,
+        |  cast(sum(o_orderkey) AS bigint) AS sum_key FROM orders""".stripMargin,
     "dedup_exact" -> DedupExactSql,
     "text_quality" -> TextQualitySql,
     "lang_id" -> LangIdSql,

@@ -248,6 +248,7 @@ class MothScanBuilder(path: String, fullSchema: StructType,
     case object CountAll extends Req
     case class CountCol(name: String) extends Req
     case class MinMax(name: String, dt: org.apache.spark.sql.types.DataType, isMin: Boolean) extends Req
+    case class SumCol(name: String) extends Req
 
     val reqs: Array[Option[(Req, org.apache.spark.sql.types.DataType)]] =
       agg.aggregateExpressions.map {
@@ -258,6 +259,13 @@ class MothScanBuilder(path: String, fullSchema: StructType,
           for (n <- topLevel(m.column); dt <- statType(n)) yield (MinMax(n, dt, isMin = true), dt)
         case m: Max =>
           for (n <- topLevel(m.column); dt <- statType(n)) yield (MinMax(n, dt, isMin = false), dt)
+        // SUM over the integer family: IntStats.sum is overflow-guarded
+        // (None on overflow → bail to a real scan, which reproduces Spark's
+        // own wrap/ANSI behavior). DOUBLE sums are excluded — FP addition
+        // order differs from Spark's and the result would not be bit-exact.
+        case s: Sum if !s.isDistinct =>
+          for (n <- topLevel(s.column); dt <- statType(n) if dt != DateType)
+            yield (SumCol(n), LongType)
         case _ => None
       }
     if (reqs.exists(_.isEmpty)) return None
@@ -267,6 +275,19 @@ class MothScanBuilder(path: String, fullSchema: StructType,
     val perFile = MothTable.parFiles(path).map { f =>
       val rd = MothFileReader.fromPathCached(f)
       try {
+        val hasVals = reqs.map(_.get._1).map { req =>
+          val colName = req match {
+            case CountCol(n) => Some(n)
+            case MinMax(n, _, _) => Some(n)
+            case SumCol(n) => Some(n)
+            case CountAll => None
+          }
+          colName match {
+            case Some(n) =>
+              rd.columnIdOf(n).flatMap(rd.fileStats.lift).exists(_.numValues > 0)
+            case None => rd.rowCount > 0
+          }
+        }
         val vals = reqs.map(_.get._1).map {
           case CountAll => Some(rd.rowCount)
           case CountCol(n) =>
@@ -279,8 +300,13 @@ class MothScanBuilder(path: String, fullSchema: StructType,
                 case _ => s.intStats.map(i => if (isMin) i.min else i.max)
               }
             }
+          case SumCol(n) =>
+            rd.columnIdOf(n).flatMap(rd.fileStats.lift).flatMap { s =>
+              if (s.numValues == 0) Some(0L) // all-null file adds nothing
+              else s.intStats.flatMap(_.sum) // None = overflow → bail
+            }
         }
-        (rd.rowCount, vals)
+        (rd.rowCount, vals, hasVals)
       } finally rd.close()
     }.seq
 
@@ -298,6 +324,19 @@ class MothScanBuilder(path: String, fullSchema: StructType,
           val vs = perFile.flatMap(_._2(i))
           if (vs.isEmpty) return None
           out(i) = if (isMin) vs.min else vs.max
+        case SumCol(_) =>
+          val vs = perFile.map(_._2(i))
+          if (vs.exists(_.isEmpty)) return None // overflow somewhere: real scan
+          // SUM over zero non-null values is NULL in SQL — normal scan
+          if (!perFile.exists(_._3(i))) return None
+          var acc = 0L
+          vs.flatten.foreach { v =>
+            val next = acc + v
+            // overflow across files also bails (Spark would wrap or throw)
+            if (((acc ^ next) & (v ^ next)) < 0) return None
+            acc = next
+          }
+          out(i) = acc
       }
     }
     val schema = StructType(reqs.zipWithIndex.map { case (r, i) =>

@@ -183,11 +183,14 @@ class SparkSuite extends AnyFunSuite with BeforeAndAfterAll {
       .write.format("moth").mode("append").save(dir)
     val df = spark.read.format("moth").load(dir)
     val q = df.agg(count(lit(1)).as("n"), min("id").as("min_id"), max("id").as("max_id"),
-      min("score").as("min_s"), max("score").as("max_s"), count("tag").as("n_tag"))
+      min("score").as("min_s"), max("score").as("max_s"), count("tag").as("n_tag"),
+      sum("id").as("sum_id"), sum("score").as("sum_s"))
     val row = q.head()
     assert(row.getLong(0) == 5000L && row.getLong(1) == 0L && row.getLong(2) == 4999L)
     assert(row.getInt(3) == 5001 && row.getInt(4) == 10000)
     assert(row.getLong(5) == rows.count(_._3 != null))
+    assert(row.getLong(6) == rows.map(_._1).sum)
+    assert(row.getLong(7) == rows.map(_._2.toLong).sum)
     val plan = q.queryExecution.executedPlan.toString
     assert(plan.contains("MothAggScan"), s"expected footer-only agg scan:\n$plan")
     // with a filter the stats no longer describe the scanned rows — the
