@@ -194,8 +194,16 @@ final class LongColumnWriter(id: Int, isDate: Boolean, bloomOpt: Option[BloomSpe
       if (v.isNull(i)) statsBuilder.recordNull()
       else {
         // TIME: vec carries nanos-of-day, disk stores micros (stats/bloom
-        // see the on-disk value) — TimeColumnWriter.go:30-32 semantics
-        val x = if (nanosToMicros) v.longs(i) / 1000L else v.longs(i)
+        // see the on-disk value) — TimeColumnWriter.go:30-32 semantics.
+        // Sub-microsecond values are rejected rather than silently rounded:
+        // Spark's TimeType is micro-precision so every Spark-fed value is
+        // aligned; a raw core caller with real nanos would lose data.
+        val x = if (nanosToMicros) {
+          val n = v.longs(i)
+          require(n % 1000L == 0,
+            s"TIME value $n ns is not microsecond-aligned; MOTH TIME stores micros-of-day")
+          n / 1000L
+        } else v.longs(i)
         data.writeLong(x)
         if (isDate) dateStats.add(x.toInt) else intStats.add(x)
         if (bloom != null) bloom.addLong(x)

@@ -67,8 +67,11 @@ object DiskRanges {
     var (start, len) = sorted.head
     for ((o, l) <- sorted.tail) {
       val end = o + l
-      if (len <= maxReadSize && o <= start + len + maxMergeDistance) {
-        len = math.max(len, end - start)
+      // cap is tested POST-merge: the read that would result must stay
+      // within maxReadSize (pre-merge testing lets one extension overshoot)
+      val merged = math.max(len, end - start)
+      if (merged <= maxReadSize && o <= start + len + maxMergeDistance) {
+        len = merged
       } else {
         out += ((start, len))
         start = o
@@ -85,41 +88,84 @@ object DiskRanges {
   * row groups from min/max statistics + bloom filters; residual row-level
   * filtering stays the engine's (Spark's) job.
   */
-sealed trait ColPredicate { def columnName: String }
+sealed trait ColPredicate
+sealed trait LeafPred extends ColPredicate { def columnName: String }
 final case class LongRangePred(columnName: String, min: Option[Long], max: Option[Long])
-    extends ColPredicate
-final case class LongEqPred(columnName: String, value: Long) extends ColPredicate
-final case class StringEqPred(columnName: String, value: String) extends ColPredicate
+    extends LeafPred
+final case class LongEqPred(columnName: String, value: Long) extends LeafPred
+final case class StringEqPred(columnName: String, value: String) extends LeafPred
+/** String bounds: stats min/max are exact when present (values over the
+  * 64-byte limit DROP the stat rather than truncate it — Stats.scala), so
+  * inclusive/exclusive comparison against them is sound.
+  */
+final case class StringRangePred(columnName: String,
+    lower: Option[(String, Boolean)], upper: Option[(String, Boolean)]) extends LeafPred
+final case class IsNullPred(columnName: String) extends LeafPred
+final case class IsNotNullPred(columnName: String) extends LeafPred
+/** Disjunction/conjunction nodes: `x IN (...)` arrives as an OrPred of
+  * bloom-tested Eq leaves, `OR` of arbitrary convertible branches prunes a
+  * unit only when EVERY branch is impossible there.
+  */
+final case class OrPred(alternatives: Seq[ColPredicate]) extends ColPredicate
+final case class AndPred(preds: Seq[ColPredicate]) extends ColPredicate
 
 final case class StatsPredicate(preds: Seq[ColPredicate]) {
   def matches(colIdOf: String => Option[Int], stats: Int => Option[ColStats],
-      bloom: Int => Option[BloomFilter]): Boolean = {
-    preds.forall { p =>
-      colIdOf(p.columnName).forall { col =>
-        val s = stats(col)
-        p match {
-          case LongRangePred(_, lo, hi) =>
-            s.forall { st =>
-              st.intStats.forall { is =>
-                lo.forall(_ <= is.max) && hi.forall(_ >= is.min)
-              } && st.tsStats.forall { case (minMs, maxMs) =>
-                // timestamp columns: range pred bounds are epoch MILLIS
-                lo.forall(_ <= maxMs) && hi.forall(_ >= minMs)
+      bloom: Int => Option[BloomFilter]): Boolean =
+    preds.forall(eval(_, colIdOf, stats, bloom))
+
+  /** "Could this unit contain a matching row?" — missing columns or missing
+    * stats answer true (pruning must be conservative).
+    */
+  private def eval(p: ColPredicate, colIdOf: String => Option[Int],
+      stats: Int => Option[ColStats], bloom: Int => Option[BloomFilter]): Boolean =
+    p match {
+      case AndPred(ps) => ps.forall(eval(_, colIdOf, stats, bloom))
+      case OrPred(ps) => ps.exists(eval(_, colIdOf, stats, bloom))
+      case leaf: LeafPred =>
+        colIdOf(leaf.columnName).forall { col =>
+          val s = stats(col)
+          leaf match {
+            case LongRangePred(_, lo, hi) =>
+              s.forall { st =>
+                st.intStats.forall { is =>
+                  lo.forall(_ <= is.max) && hi.forall(_ >= is.min)
+                } && st.tsStats.forall { case (minMs, maxMs) =>
+                  // timestamp columns: range pred bounds are epoch MILLIS
+                  lo.forall(_ <= maxMs) && hi.forall(_ >= minMs)
+                }
               }
-            }
-          case LongEqPred(_, v) =>
-            s.forall(_.intStats.forall(is => v >= is.min && v <= is.max)) &&
-              bloom(col).forall(_.testLong(v))
-          case StringEqPred(_, v) =>
-            val b = v.getBytes("UTF-8")
-            s.forall(_.stringStats.forall { ss =>
-              ss.min.forall(ColStats.compareBytes(b, _) >= 0) &&
-                ss.max.forall(ColStats.compareBytes(b, _) <= 0)
-            }) && bloom(col).forall(_.testBytes(b))
+            case LongEqPred(_, v) =>
+              s.forall(_.intStats.forall(is => v >= is.min && v <= is.max)) &&
+                bloom(col).forall(_.testLong(v))
+            case StringEqPred(_, v) =>
+              val b = v.getBytes("UTF-8")
+              s.forall(_.stringStats.forall { ss =>
+                ss.min.forall(ColStats.compareBytes(b, _) >= 0) &&
+                  ss.max.forall(ColStats.compareBytes(b, _) <= 0)
+              }) && bloom(col).forall(_.testBytes(b))
+            case StringRangePred(_, lower, upper) =>
+              s.forall(_.stringStats.forall { ss =>
+                lower.forall { case (v, incl) =>
+                  val b = v.getBytes("UTF-8")
+                  // some value must sit above the bound: max > v (or >= v)
+                  ss.max.forall { mx =>
+                    val c = ColStats.compareBytes(mx, b)
+                    if (incl) c >= 0 else c > 0
+                  }
+                } && upper.forall { case (v, incl) =>
+                  val b = v.getBytes("UTF-8")
+                  ss.min.forall { mn =>
+                    val c = ColStats.compareBytes(mn, b)
+                    if (incl) c <= 0 else c < 0
+                  }
+                }
+              })
+            case IsNullPred(_) => s.forall(_.hasNull)
+            case IsNotNullPred(_) => s.forall(_.numValues > 0)
+          }
         }
-      }
     }
-  }
 }
 
 object StatsPredicate {
@@ -388,7 +434,14 @@ object MothFileReader {
           e: java.util.Map.Entry[String, ParsedTail]): Boolean = size() > 1024
     }
 
-  /** Open a file reader, serving the tail parse from the cache. */
+  /** Open a file reader, serving the tail parse from the cache.
+    *
+    * ASSUMES IMMUTABLE FILES: the cache key is (path, size, mtime), so an
+    * in-place overwrite that preserves length within filesystem mtime
+    * granularity would serve a stale footer. The engine's own writers never
+    * do this (output is always a fresh name renamed into place); foreign
+    * writers mutating .moth files in place are unsupported.
+    */
   def fromPathCached(path: String, opts: ReaderOpts = ReaderOpts()): MothFileReader = {
     val f = new java.io.File(path)
     val key = s"$path:${f.length()}:${f.lastModified()}"

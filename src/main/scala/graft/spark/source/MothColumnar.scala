@@ -21,14 +21,25 @@ final class MothVector(dt: DataType, v: ColVec, map: Array[Int] = null)
   @inline private def at(rowId: Int): Int = if (map == null) rowId else map(rowId)
 
   override def close(): Unit = ()
-  override def hasNull: Boolean = v.nulls != null
-  override def numNulls: Int = {
-    if (v.nulls == null) return 0
+  // null accounting is over ADDRESSABLE rows: with a parent indirection a
+  // row is null when the parent was null (map(r) == -1) even if the dense
+  // child vec itself has no null slots
+  private lazy val cachedNumNulls: Int = {
     var c = 0
-    var i = 0
-    while (i < v.len) { if (v.nulls(i)) c += 1; i += 1 }
+    if (map == null) {
+      if (v.nulls != null) {
+        var i = 0
+        while (i < v.len) { if (v.nulls(i)) c += 1; i += 1 }
+      }
+    } else {
+      var r = 0
+      while (r < map.length) { if (map(r) < 0 || v.isNull(map(r))) c += 1; r += 1 }
+    }
     c
   }
+  override def hasNull: Boolean =
+    v.nulls != null || (map != null && cachedNumNulls > 0)
+  override def numNulls: Int = cachedNumNulls
   override def isNullAt(rowId: Int): Boolean = {
     val j = at(rowId)
     j < 0 || v.isNull(j)

@@ -12,7 +12,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.sql.catalyst.InternalRow
 import graft.core.columns.WriterOpts
 import graft.core.compress.CompressionKind
-import graft.core.file.{LongEqPred, LongRangePred, MothFileReader, MothFileWriter, StatsPredicate, StringEqPred}
+import graft.core.file.{AndPred, IsNotNullPred, IsNullPred, LongEqPred, LongRangePred, MothFileReader, MothFileWriter, OrPred, StatsPredicate, StringEqPred, StringRangePred}
 import graft.spark.{InternalBridge, SparkBridge}
 
 /** DataSourceV2 "moth" format: `spark.read.format("moth").load(dir)`.
@@ -464,9 +464,36 @@ object MothFilters {
       millisOf(v).map(x => LongRangePred(c, None, Some(x + 1))).toSeq
     case EqualTo(c, v) if isTimestamp(schema, c) =>
       millisOf(v).map(x => LongRangePred(c, Some(x), Some(x + 1))).toSeq
+    // string ranges: stats min/max are exact when present, so bounds prune
+    case GreaterThan(c, v: String) if isString(schema, c) =>
+      Seq(StringRangePred(c, Some((v, false)), None))
+    case GreaterThanOrEqual(c, v: String) if isString(schema, c) =>
+      Seq(StringRangePred(c, Some((v, true)), None))
+    case LessThan(c, v: String) if isString(schema, c) =>
+      Seq(StringRangePred(c, None, Some((v, false))))
+    case LessThanOrEqual(c, v: String) if isString(schema, c) =>
+      Seq(StringRangePred(c, None, Some((v, true))))
+    // IN → bloom-tested Eq disjunction (the most common pruning-relevant
+    // filter in pipeline code); nulls in the value list never match a row,
+    // so dropping them keeps the disjunction conservative
+    case In(c, vs) =>
+      val branches = vs.filter(_ != null).map(v => toPreds(schema, EqualTo(c, v)))
+      if (branches.isEmpty || branches.exists(_.isEmpty)) Nil
+      else Seq(OrPred(branches.toSeq.map(andOf)))
+    case IsNull(c) => Seq(IsNullPred(c))
+    case IsNotNull(c) => Seq(IsNotNullPred(c))
     case And(l, r) => toPreds(schema, l) ++ toPreds(schema, r)
+    // OR prunes only when BOTH branches convert: an unconstrainable branch
+    // could match anywhere
+    case Or(l, r) =>
+      val (pl, pr) = (toPreds(schema, l), toPreds(schema, r))
+      if (pl.isEmpty || pr.isEmpty) Nil
+      else Seq(OrPred(Seq(andOf(pl), andOf(pr))))
     case _ => Nil
   }
+
+  private def andOf(ps: Seq[ColPredicate]): ColPredicate =
+    if (ps.size == 1) ps.head else AndPred(ps)
 }
 
 class MothScan(path: String, required: StructType, predicate: StatsPredicate,
@@ -490,7 +517,12 @@ class MothScan(path: String, required: StructType, predicate: StatsPredicate,
       val rd = MothFileReader.fromPathCached(f)
       try {
         val stripes = rd.footer.stripes
-        if (stripes.isEmpty) Seq(MothInputPartition(f, 0L, Long.MaxValue))
+        // file-level pruning at PLANNING time: a file whose footer stats
+        // refute the predicate never becomes a task (at 100k files this is
+        // the difference between launching and not launching the tasks)
+        if (!predicate.matches(rd.columnIdOf, c => rd.fileStats.lift(c), _ => None))
+          Nil
+        else if (stripes.isEmpty) Seq(MothInputPartition(f, 0L, Long.MaxValue))
         else {
           val groups = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
           var start = stripes.head.offset

@@ -423,9 +423,16 @@ class FileSpec extends AnyFunSuite {
     // gap beyond distance stays split
     assert(DiskRanges.merge(Seq((0L, 10L), (100L, 10L)), 5L, 1000L) ==
       Seq((0L, 10L), (100L, 10L)))
-    // cap: a merged range at the cap stops absorbing
+    // cap is POST-merge: a merge whose RESULT would exceed maxReadSize is
+    // rejected, so no emitted read is ever larger than the cap
     assert(DiskRanges.merge(Seq((0L, 100L), (100L, 100L), (200L, 100L)), 0L, 150L) ==
+      Seq((0L, 100L), (100L, 100L), (200L, 100L)))
+    assert(DiskRanges.merge(Seq((0L, 100L), (100L, 100L), (200L, 100L)), 0L, 200L) ==
       Seq((0L, 200L), (200L, 100L)))
+    // every merged read respects the cap even with large gaps absorbed
+    val merged = DiskRanges.merge(
+      Seq((0L, 50L), (900L, 50L), (1800L, 50L), (2700L, 50L)), 1000L, 1000L)
+    assert(merged.forall(_._2 <= 1000L), s"post-merge cap violated: $merged")
     // unsorted input is sorted first
     assert(DiskRanges.merge(Seq((20L, 10L), (0L, 10L)), 100L, 1000L) == Seq((0L, 30L)))
   }
@@ -669,6 +676,62 @@ class FileSpec extends AnyFunSuite {
     // absent value prunes everything
     val none = rd.batches(predicate = StatsPredicate(Seq(StringEqPred("s", "nope")))).toSeq
     assert(none.map(_.len).sum == 0)
+  }
+
+  test("predicate tree pruning: OR/AND, IN-style disjunction, null preds, string ranges") {
+    // two columns: monotone id (tight per-group ranges), string grade with
+    // nulls only in groups 0-4 (rows 0-499)
+    val schema = TStruct(Seq("id" -> TLong, "grade" -> TString))
+    val n = 2000
+    val v = new ColVec(n)
+    val idc = new ColVec(n)
+    idc.longs = Array.tabulate(n)(_.toLong)
+    val gc = new ColVec(n)
+    gc.nulls = Array.tabulate(n)(i => i < 500 && i % 7 == 0)
+    gc.bins = Array.tabulate(n)(i =>
+      if (i < 500 && i % 7 == 0) null else f"g${i / 100}%03d".getBytes("UTF-8"))
+    v.children = Array(idc, gc)
+    val bos = new ByteArrayOutputStream()
+    val w = new MothFileWriter(bos, schema, CompressionKind.ZLIB,
+      WriterOpts(rowGroupMaxRowCount = 100, bloomColumns = Set("id")))
+    w.write(v)
+    w.close()
+    val rd = MothFileReader.fromBytes(bos.toByteArray)
+    def rows(p: StatsPredicate): Long =
+      rd.batches(predicate = p).map(_.len.toLong).sum
+
+    // IN-style disjunction of bloom-tested Eq leaves: 2 groups survive
+    val in = StatsPredicate(Seq(OrPred(Seq(
+      LongEqPred("id", 150L), LongEqPred("id", 1250L)))))
+    assert(rows(in) == 200, s"IN disjunction should keep 2 groups")
+    // OR across different columns: union of each branch's groups
+    val orAcross = StatsPredicate(Seq(OrPred(Seq(
+      LongRangePred("id", Some(0L), Some(99L)),
+      StringEqPred("grade", "g015")))))
+    assert(rows(orAcross) == 200, "OR across columns keeps both branches' groups")
+    // AND inside OR: (id in group 3 AND grade g003) OR (id in group 12)
+    val andInOr = StatsPredicate(Seq(OrPred(Seq(
+      AndPred(Seq(LongRangePred("id", Some(300L), Some(399L)), StringEqPred("grade", "g003"))),
+      LongRangePred("id", Some(1200L), Some(1299L))))))
+    assert(rows(andInOr) == 200)
+    // contradictory AND branch contributes nothing
+    val deadBranch = StatsPredicate(Seq(OrPred(Seq(
+      AndPred(Seq(LongRangePred("id", Some(300L), Some(399L)), StringEqPred("grade", "g013"))),
+      LongRangePred("id", Some(1200L), Some(1299L))))))
+    assert(rows(deadBranch) == 100)
+    // IsNull prunes to the 5 groups that contain nulls
+    assert(rows(StatsPredicate(Seq(IsNullPred("grade")))) == 500)
+    // IsNotNull keeps everything here (no all-null group exists)
+    assert(rows(StatsPredicate(Seq(IsNotNullPred("grade")))) == n)
+    // string ranges against exact min/max stats
+    assert(rows(StatsPredicate(Seq(StringRangePred("grade", Some(("g018", false)), None)))) == 100,
+      "grade > 'g018' keeps only the last group")
+    assert(rows(StatsPredicate(Seq(StringRangePred("grade", Some(("g018", true)), None)))) == 200)
+    assert(rows(StatsPredicate(Seq(StringRangePred("grade", None, Some(("g001", false)))))) == 100,
+      "grade < 'g001' keeps only group 0 (group 1's min IS g001, excluded)")
+    assert(rows(StatsPredicate(Seq(StringRangePred("grade", None, Some(("g001", true)))))) == 200)
+    // unknown column never prunes
+    assert(rows(StatsPredicate(Seq(OrPred(Seq(LongEqPred("nope", 1L)))))) == n)
   }
 
   test("bloom filter unit: reference test vector semantics") {

@@ -438,6 +438,64 @@ class SparkSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(back.agg(min("ts")).collect().head == expect.agg(min("ts")).collect().head)
   }
 
+  test("DSv2 isin/OR/IsNull pushdown: file pruning at planning + group pruning, correct results") {
+    import org.apache.spark.sql.sources.{In, IsNull, Or, EqualTo, GreaterThan}
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    import graft.spark.source.{MothScanBuilder, MothScan}
+    val s = spark
+    import s.implicits._
+    val d = tmpDir() + "/inprune"
+    // two disjoint-key files: k in [0,10k) and [100k,110k); within each file
+    // monotone k gives tight per-row-group ranges
+    val df = ((0L until 10000L) ++ (100000L until 110000L))
+      .toDF("k")
+      .withColumn("tag", when(col("k") % 50 === 0, lit(null: String))
+        .otherwise(concat(lit("t"), (col("k") % 10).cast("string"))))
+    MothSpark.writeFiles(
+      df.repartitionByRange(2, col("k")).sortWithinPartitions("k"),
+      d, "inprune", CompressionKind.ZLIB, WriterOpts(rowGroupMaxRowCount = 1000))
+    val schema = spark.read.format("moth").load(d).schema
+
+    def planned(filters: Array[org.apache.spark.sql.sources.Filter]): Int = {
+      val b = new MothScanBuilder(d, schema)
+      b.pushFilters(filters)
+      b.build().asInstanceOf[MothScan].planInputPartitions().length
+    }
+    val all = planned(Array.empty)
+    assert(all >= 2, s"expected >=2 partitions unfiltered, got $all")
+    // isin on the global minimum key: only the file containing k=0 survives
+    // (the range split point is sampled, but contiguous disjoint ranges mean
+    // exactly one file can contain the minimum)
+    assert(planned(Array(In("k", Array(0L)))) < all,
+      "isin should prune non-matching files before task launch")
+    // impossible disjunction (below every file's min) prunes everything
+    assert(planned(Array(Or(EqualTo("k", -1L), EqualTo("k", -2L)))) == 0)
+    // group-level effect: isin over two tight groups decodes far fewer rows
+    // (instrument via the core reader with the same translated predicate)
+    import graft.spark.source.MothFilters
+    val preds = MothFilters.toPreds(schema, In("k", Array(500L, 105500L)))
+    assert(preds.nonEmpty)
+    val files = new java.io.File(d).listFiles((_, n) => n.endsWith(".moth")).sorted
+    val decoded = files.map { f =>
+      val rd = graft.core.file.MothFileReader.fromPath(f.getAbsolutePath)
+      try rd.batches(predicate = graft.core.file.StatsPredicate(preds))
+        .map(_.len.toLong).sum
+      finally rd.close()
+    }.sum
+    assert(decoded <= 2 * 1000, s"isin should prune to <=1 group per file, decoded $decoded rows")
+    // end-to-end correctness: residual filters re-applied by Spark
+    val moth = spark.read.format("moth").load(d)
+    assert(moth.filter(col("k").isin(5L, 100007L, 42L)).select("k").as[Long]
+      .collect().sorted.sameElements(Array(5L, 42L, 100007L)))
+    assert(moth.filter(col("k").isin(5L, 100007L, 42L)).count() == 3)
+    assert(moth.filter(col("tag").isNull).count() ===
+      df.filter(col("tag").isNull).count())
+    assert(moth.filter(col("k") > 105000L || col("k") < 100L).count() ===
+      df.filter(col("k") > 105000L || col("k") < 100L).count())
+    // string range pushdown stays correct
+    assert(moth.filter(col("tag") >= "t8").count() === df.filter(col("tag") >= "t8").count())
+  }
+
   test("columnar scan: vectorized batches equal row decode, incl. nested types") {
     val s = spark
     import s.implicits._
