@@ -82,6 +82,31 @@ object SparkEntry {
     "roundtrip_supplier_none" -> ((s, d) =>
       rt(s, d, "supplier", Seq("s_suppkey"), CompressionKind.NONE)),
 
+    // — nested-type round-trip: STRUCT (nested two deep) + MAP derived in
+    //   SQL, encoded through StructColumnWriter/MapColumnWriter, read back,
+    //   and projected to hashable scalars; struct nulls + map-value nulls
+    //   exercise PRESENT streams and dense child layouts at every level —
+    "roundtrip_nested" -> ((s, d) => {
+      read(s, d, "orders").createOrReplaceTempView("orders")
+      val derived = s.sql(
+        """SELECT o_orderkey,
+          |  CASE WHEN o_orderkey % 7 = 0 THEN NULL
+          |       ELSE named_struct('status', o_orderstatus,
+          |                         'cents', cast(round(o_totalprice * 100) AS bigint),
+          |                         'deep', named_struct('cust', o_custkey)) END AS info,
+          |  map('prio', CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_orderpriority END,
+          |      'stat', o_orderstatus) AS attrs
+          |FROM orders""".stripMargin)
+      MothSpark.roundtrip(derived)
+        .select(col("o_orderkey"),
+          col("info.status").as("status"),
+          col("info.cents").as("cents"),
+          col("info.deep.cust").as("cust"),
+          element_at(col("attrs"), "prio").as("prio"),
+          element_at(col("attrs"), "stat").as("stat"))
+        .orderBy("o_orderkey")
+    }),
+
     // — multimodal-style opaque binary column: cast text payloads to binary,
     //   round-trip through the BINARY writer (SliceDirect), extract typed
     //   features from the blob (length + md5 fingerprint) —
@@ -366,6 +391,14 @@ object SparkEntry {
         |  cast(max(o_orderkey) AS bigint) AS max_key,
         |  count(o_orderstatus) AS n_status,
         |  cast(sum(o_orderkey) AS bigint) AS sum_key FROM orders""".stripMargin,
+    "roundtrip_nested" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderstatus END AS status,
+        |  CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE cast(round(o_totalprice * 100) AS bigint) END AS cents,
+        |  CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey END AS cust,
+        |  CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_orderpriority END AS prio,
+        |  o_orderstatus AS stat
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "dedup_exact" -> DedupExactSql,
     "text_quality" -> TextQualitySql,
     "lang_id" -> LangIdSql,
