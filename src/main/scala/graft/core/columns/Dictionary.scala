@@ -271,7 +271,8 @@ final class StringDictionaryColumnWriter(val columnId: Int, opts: WriterOpts,
         }
       }
     }
-    withBloom(new BinaryColumnWriter(columnId, new StringStatsBuilder(opts.stringStatsLimit)))
+    withBloom(new BinaryColumnWriter(columnId,
+      new StringStatsBuilder(opts.stringStatsLimit), opts.refCompatRle))
   }
 
   private def withBloom(w: BinaryColumnWriter): BinaryColumnWriter = {
@@ -305,7 +306,7 @@ final class StringDictionaryColumnWriter(val columnId: Int, opts: WriterOpts,
     while (i < order.length) { remap(order(i)) = i; i += 1 }
 
     val dictData = new ByteBuf(math.max(dict.totalBytes.toInt, 16))
-    val lenW = new RleV2Writer(signed = false)
+    val lenW = new RleV2Writer(signed = false, refCompat = opts.refCompatRle)
     i = 0
     while (i < order.length) {
       val e = dict.entry(order(i) + 1)
@@ -316,7 +317,7 @@ final class StringDictionaryColumnWriter(val columnId: Int, opts: WriterOpts,
     lenW.flush()
 
     val present = new PresentWriter
-    val dataW = new RleV2Writer(signed = false)
+    val dataW = new RleV2Writer(signed = false, refCompat = opts.refCompatRle)
     val positions = new ArrayBuffer[Array[Long]]
     val presentCps = new ArrayBuffer[(Int, Int)]
     for (rg <- rowGroups) {

@@ -44,22 +44,28 @@ object ColumnWriter {
         case MothType.TBoolean => new BooleanColumnWriter(id)
         case MothType.TByte => new ByteColumnWriter(id)
         case MothType.TShort | MothType.TInt | MothType.TLong =>
-          new LongColumnWriter(id, isDate = false, opts.bloomFor(path))
-        case MothType.TDate => new LongColumnWriter(id, isDate = true, opts.bloomFor(path))
+          new LongColumnWriter(id, isDate = false, opts.bloomFor(path),
+            rleCompat = opts.refCompatRle)
+        case MothType.TDate => new LongColumnWriter(id, isDate = true, opts.bloomFor(path),
+          rleCompat = opts.refCompatRle)
         case MothType.TTime =>
-          new LongColumnWriter(id, isDate = false, opts.bloomFor(path), nanosToMicros = true)
+          new LongColumnWriter(id, isDate = false, opts.bloomFor(path), nanosToMicros = true,
+            rleCompat = opts.refCompatRle)
         case MothType.TFloat => new FloatColumnWriter(id)
         case MothType.TDouble => new DoubleColumnWriter(id)
         case MothType.TTimestamp | MothType.TTimestampInstant =>
-          new TimestampColumnWriter(id)
-        case d: MothType.TDecimal => new DecimalColumnWriter(id, d.precision, d.scale)
-        case MothType.TBinary => new BinaryColumnWriter(id, stats = new BinaryStatsBuilder)
+          new TimestampColumnWriter(id, opts.refCompatRle)
+        case d: MothType.TDecimal =>
+          new DecimalColumnWriter(id, d.precision, d.scale, opts.refCompatRle)
+        case MothType.TBinary =>
+          new BinaryColumnWriter(id, stats = new BinaryStatsBuilder, opts.refCompatRle)
         case MothType.TString | _: MothType.TVarchar | _: MothType.TChar =>
           new StringDictionaryColumnWriter(id, opts, opts.bloomFor(path))
         case l: MothType.TList =>
-          new ListColumnWriter(id, create(l.elem, s"$path.item"))
+          new ListColumnWriter(id, create(l.elem, s"$path.item"), opts.refCompatRle)
         case m: MothType.TMap =>
-          new MapColumnWriter(id, create(m.key, s"$path.key"), create(m.value, s"$path.value"))
+          new MapColumnWriter(id, create(m.key, s"$path.key"),
+            create(m.value, s"$path.value"), opts.refCompatRle)
         case s: MothType.TStruct =>
           val self = id
           val kids = s.fields.map { case (n, ft) => create(ft, if (path.isEmpty) n else s"$path.$n") }
@@ -95,6 +101,10 @@ final case class WriterOpts(
     bloomFpp: Double = 0.05,
     bloomColumns: Set[String] = Set.empty,
     fsstEnabled: Boolean = true,
+    // Reproduce the reference's exact RLEv2 encoding choices (int-truncated
+    // percentileBits, no DELTA for all-equal runs) — the whole-file size
+    // parity gate writes with this on and asserts default <= compat bytes
+    refCompatRle: Boolean = false,
     compressionChunkSize: Int = 256 * 1024,
     // Footer UserMetadataItems (MothWriter.go:33,70-72); the writer adds
     // its version key like the reference's MOTHDB_MOTH_WRITER_VERSION
@@ -180,9 +190,10 @@ abstract class PrimitiveColumnWriter(val columnId: Int) extends ColumnWriter {
   * — /root/reference/pkg/store/LongColumnWriter.go.
   */
 final class LongColumnWriter(id: Int, isDate: Boolean, bloomOpt: Option[BloomSpec],
-    nanosToMicros: Boolean = false) extends PrimitiveColumnWriter(id) {
+    nanosToMicros: Boolean = false, rleCompat: Boolean = false)
+    extends PrimitiveColumnWriter(id) {
   bloomSpec = bloomOpt
-  private var data = new RleV2Writer(signed = true)
+  private var data = new RleV2Writer(signed = true, refCompat = rleCompat)
   private val intStats = new IntStatsBuilder
   private val dateStats = new DateStatsBuilder
   protected def statsBuilder: StatsBuilder = if (isDate) dateStats else intStats
@@ -220,7 +231,8 @@ final class LongColumnWriter(id: Int, isDate: Boolean, bloomOpt: Option[BloomSpe
     Seq(StreamData(StreamKind.Data, columnId, data.out.toArray))
   protected def encoding: ColumnEncoding = ColumnEncoding(EncodingKind.DirectV2)
   def bufferedBytes: Long = present.bufferedBytes + data.out.size
-  protected def resetEncoders(): Unit = data = new RleV2Writer(signed = true)
+  protected def resetEncoders(): Unit =
+    data = new RleV2Writer(signed = true, refCompat = rleCompat)
 }
 
 /** BYTE: PRESENT + DATA byte-RLE, DIRECT — ByteColumnWriter.go. */
@@ -365,10 +377,11 @@ object TimestampColumnWriter {
 /** TIMESTAMP: PRESENT + DATA seconds-since-2015 (RLEv2 signed) + SECONDARY
   * encodeNanos (RLEv2 unsigned), DIRECT_V2. Input micros since epoch UTC.
   */
-final class TimestampColumnWriter(id: Int) extends PrimitiveColumnWriter(id) {
+final class TimestampColumnWriter(id: Int, rleCompat: Boolean = false)
+    extends PrimitiveColumnWriter(id) {
   import TimestampColumnWriter._
-  private var seconds = new RleV2Writer(signed = true)
-  private var nanos = new RleV2Writer(signed = false)
+  private var seconds = new RleV2Writer(signed = true, refCompat = rleCompat)
+  private var nanos = new RleV2Writer(signed = false, refCompat = rleCompat)
   private val stats = new TimestampStatsBuilder
   protected def statsBuilder: StatsBuilder = stats
 
@@ -400,8 +413,8 @@ final class TimestampColumnWriter(id: Int) extends PrimitiveColumnWriter(id) {
   protected def encoding: ColumnEncoding = ColumnEncoding(EncodingKind.DirectV2)
   def bufferedBytes: Long = present.bufferedBytes + seconds.out.size + nanos.out.size
   protected def resetEncoders(): Unit = {
-    seconds = new RleV2Writer(signed = true)
-    nanos = new RleV2Writer(signed = false)
+    seconds = new RleV2Writer(signed = true, refCompat = rleCompat)
+    nanos = new RleV2Writer(signed = false, refCompat = rleCompat)
   }
 }
 
@@ -410,10 +423,10 @@ final class TimestampColumnWriter(id: Int) extends PrimitiveColumnWriter(id) {
   * zigzag'd BigInt varints (self-consistent encoding; reference uses an
   * equivalent Int128 varint, DecimalOutputStream.go:30-53).
   */
-final class DecimalColumnWriter(id: Int, precision: Int, scale: Int)
-    extends PrimitiveColumnWriter(id) {
+final class DecimalColumnWriter(id: Int, precision: Int, scale: Int,
+    rleCompat: Boolean = false) extends PrimitiveColumnWriter(id) {
   private var data = new ByteBuf(256)
-  private var scaleStream = new RleV2Writer(signed = true)
+  private var scaleStream = new RleV2Writer(signed = true, refCompat = rleCompat)
   private val stats = new DecimalStatsBuilder
   protected def statsBuilder: StatsBuilder = stats
 
@@ -456,15 +469,17 @@ final class DecimalColumnWriter(id: Int, precision: Int, scale: Int)
   protected def encoding: ColumnEncoding = ColumnEncoding(EncodingKind.DirectV2)
   def bufferedBytes: Long = present.bufferedBytes + data.size + scaleStream.out.size
   protected def resetEncoders(): Unit = {
-    data = new ByteBuf(256); scaleStream = new RleV2Writer(signed = true)
+    data = new ByteBuf(256)
+    scaleStream = new RleV2Writer(signed = true, refCompat = rleCompat)
   }
 }
 
 /** BINARY (and direct strings): PRESENT + LENGTH RLEv2 unsigned + DATA raw
   * bytes, DIRECT_V2 — SliceDirectColumnWriter.go.
   */
-class BinaryColumnWriter(id: Int, stats: StatsBuilder) extends PrimitiveColumnWriter(id) {
-  protected var lengths = new RleV2Writer(signed = false)
+class BinaryColumnWriter(id: Int, stats: StatsBuilder, rleCompat: Boolean = false)
+    extends PrimitiveColumnWriter(id) {
+  protected var lengths = new RleV2Writer(signed = false, refCompat = rleCompat)
   protected var data = new ByteBuf(1024)
   protected def statsBuilder: StatsBuilder = stats
 
@@ -517,17 +532,19 @@ class BinaryColumnWriter(id: Int, stats: StatsBuilder) extends PrimitiveColumnWr
   protected def encoding: ColumnEncoding = ColumnEncoding(EncodingKind.DirectV2)
   def bufferedBytes: Long = present.bufferedBytes + lengths.out.size + data.size
   protected def resetEncoders(): Unit = {
-    lengths = new RleV2Writer(signed = false); data = new ByteBuf(1024)
+    lengths = new RleV2Writer(signed = false, refCompat = rleCompat)
+    data = new ByteBuf(1024)
   }
 }
 
 /** LIST: PRESENT + LENGTH + recursive element — ListColumnWriter.go. */
-final class ListColumnWriter(val columnId: Int, val elem: ColumnWriter) extends ColumnWriter {
+final class ListColumnWriter(val columnId: Int, val elem: ColumnWriter,
+    rleCompat: Boolean = false) extends ColumnWriter {
   private var present = new PresentWriter
   private val presentCps = new ArrayBuffer[(Int, Int)]
   private val lengthCps = new ArrayBuffer[(Int, Int)]
   private val rgStats = new ArrayBuffer[ColStats]
-  private var lengths = new RleV2Writer(signed = false)
+  private var lengths = new RleV2Writer(signed = false, refCompat = rleCompat)
   private val stats = new CountStatsBuilder
   private var closed = false
 
@@ -574,20 +591,20 @@ final class ListColumnWriter(val columnId: Int, val elem: ColumnWriter) extends 
   def reset(): Unit = {
     present = new PresentWriter
     presentCps.clear(); lengthCps.clear(); rgStats.clear()
-    lengths = new RleV2Writer(signed = false)
+    lengths = new RleV2Writer(signed = false, refCompat = rleCompat)
     closed = false
     elem.reset()
   }
 }
 
 /** MAP: PRESENT + LENGTH + recursive key/value — MapColumnWriter.go. */
-final class MapColumnWriter(val columnId: Int, val key: ColumnWriter, val value: ColumnWriter)
-    extends ColumnWriter {
+final class MapColumnWriter(val columnId: Int, val key: ColumnWriter,
+    val value: ColumnWriter, rleCompat: Boolean = false) extends ColumnWriter {
   private var present = new PresentWriter
   private val presentCps = new ArrayBuffer[(Int, Int)]
   private val lengthCps = new ArrayBuffer[(Int, Int)]
   private val rgStats = new ArrayBuffer[ColStats]
-  private var lengths = new RleV2Writer(signed = false)
+  private var lengths = new RleV2Writer(signed = false, refCompat = rleCompat)
   private val stats = new CountStatsBuilder
   private var closed = false
 
@@ -637,7 +654,7 @@ final class MapColumnWriter(val columnId: Int, val key: ColumnWriter, val value:
   def reset(): Unit = {
     present = new PresentWriter
     presentCps.clear(); lengthCps.clear(); rgStats.clear()
-    lengths = new RleV2Writer(signed = false)
+    lengths = new RleV2Writer(signed = false, refCompat = rleCompat)
     closed = false
     key.reset(); value.reset()
   }

@@ -438,6 +438,33 @@ class SparkSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(back.agg(min("ts")).collect().head == expect.agg(min("ts")).collect().head)
   }
 
+  test("whole-file size parity: default writer <= reference-equivalent writer on transcripts") {
+    // The RLE-level gate (RleSpec) proves default <= refCompat per integer
+    // stream; this binds the WHOLE layout: same transcripts fixture, same
+    // codec, one writer with the engine's default choices (FSST allowed,
+    // DELTA-for-equal, full-precision percentileBits) vs one reproducing the
+    // reference's (refCompatRle, no FSST). Every documented deviation must
+    // be size-reducing END TO END, not just per stream.
+    val df = TranscriptGen.transcripts(spark, 60000, seed = 7)
+      .orderBy("conv_id", "turn_idx")
+    val rows = df.collect()
+    val schema = df.schema
+    def encode(opts: WriterOpts): (Long, Seq[org.apache.spark.sql.Row]) = {
+      val bos = new java.io.ByteArrayOutputStream()
+      MothSpark.encodeRows(schema, rows.iterator, bos, CompressionKind.ZLIB, opts)
+      val bytes = bos.toByteArray
+      (bytes.length.toLong, MothSpark.decodeRows(bytes).toSeq)
+    }
+    val (defaultBytes, defaultRows) = encode(WriterOpts())
+    val (compatBytes, compatRows) = encode(
+      WriterOpts(refCompatRle = true, fsstEnabled = false))
+    assert(defaultBytes <= compatBytes,
+      s"default file $defaultBytes B > reference-equivalent $compatBytes B")
+    // both layouts decode bit-identically to the source
+    assert(defaultRows == rows.toSeq)
+    assert(compatRows == rows.toSeq)
+  }
+
   test("DSv2 isin/OR/IsNull pushdown: file pruning at planning + group pruning, correct results") {
     import org.apache.spark.sql.sources.{In, IsNull, Or, EqualTo, GreaterThan}
     import org.apache.spark.sql.util.CaseInsensitiveStringMap
