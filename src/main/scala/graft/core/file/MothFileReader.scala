@@ -400,8 +400,9 @@ final case class ParsedTail(postScript: Meta.PostScriptMsg, footer: Meta.FooterM
 object MothFileReader {
   def fromBytes(bytes: Array[Byte], opts: ReaderOpts = ReaderOpts()): MothFileReader =
     new MothFileReader(new ArraySource(bytes), opts)
+  /** Open by path or URI — any registered Hadoop FileSystem scheme. */
   def fromPath(path: String, opts: ReaderOpts = ReaderOpts()): MothFileReader =
-    new MothFileReader(new FileSource(path), opts)
+    new MothFileReader(Sources.forPath(path), opts)
 
   def parseTail(src: ByteSource): ParsedTail = {
     val tailLen = math.min(src.size, 16384L).toInt
@@ -443,12 +444,12 @@ object MothFileReader {
     * writers mutating .moth files in place are unsupported.
     */
   def fromPathCached(path: String, opts: ReaderOpts = ReaderOpts()): MothFileReader = {
-    val f = new java.io.File(path)
-    val key = s"$path:${f.length()}:${f.lastModified()}"
+    val (len, mtime) = Sources.status(path)
+    val key = s"$path:$len:$mtime"
     val cached = tailCache.synchronized(tailCache.get(key))
-    if (cached != null) new MothFileReader(new FileSource(path), opts, cached)
+    if (cached != null) new MothFileReader(Sources.forPath(path), opts, cached)
     else {
-      val rd = new MothFileReader(new FileSource(path), opts)
+      val rd = new MothFileReader(Sources.forPath(path), opts)
       val parsed = ParsedTail(rd.postScript, rd.footer, rd.stripeStatsPerStripe)
       tailCache.synchronized(tailCache.put(key, parsed))
       rd

@@ -53,11 +53,11 @@ class MothDataSourceV2 extends TableProvider with DataSourceRegister {
 }
 
 object MothTable {
+  /** List via Hadoop FileSystem: any registered scheme (hdfs://, s3a://,
+    * file:, scheme-less local) — the storage-agnostic face of the table.
+    */
   def listFiles(path: String): Seq[String] = {
-    val f = new java.io.File(path)
-    val files =
-      if (f.isFile) Seq(f.getAbsolutePath)
-      else f.listFiles((_, n) => n.endsWith(".moth")).map(_.getAbsolutePath).toSeq.sorted
+    val files = graft.core.file.Sources.listMoth(path)
     require(files.nonEmpty, s"no .moth files at $path")
     files
   }
@@ -114,19 +114,21 @@ class MothWriteBuilder(path: String, schema: StructType, queryId: String,
 
 class MothWrite(path: String, schema: StructType, queryId: String,
     codec: CompressionKind.Value, truncate: Boolean) extends Write with BatchWrite {
+  import org.apache.hadoop.fs.Path
+  import graft.core.file.Sources
   override def toBatch: BatchWrite = this
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
-    val dir = new java.io.File(path)
-    dir.mkdirs()
+    val fs = Sources.fileSystemOf(path)
+    fs.mkdirs(new Path(path))
     if (!truncate) {
       // append into a non-empty dir only with an identical schema: the scan
       // infers the table schema from one footer
-      val existing = dir.listFiles((_, n) => n.endsWith(".moth"))
-      if (existing != null && existing.nonEmpty) {
+      val existing = scala.util.Try(MothTable.listFiles(path)).getOrElse(Nil)
+      if (existing.nonEmpty) {
         // nullability is not encoded in MOTH (PRESENT is per-stripe), so
         // compare modulo nullable flags
-        val have = MothTable.schemaOf(Seq(existing.head.getAbsolutePath))
+        val have = MothTable.schemaOf(Seq(existing.head))
         def norm(s: StructType): Seq[(String, String)] =
           s.fields.toSeq.map(f => (f.name, f.dataType.catalogString))
         require(norm(have) == norm(schema),
@@ -139,16 +141,21 @@ class MothWrite(path: String, schema: StructType, queryId: String,
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     if (truncate) {
       val keep = messages.collect { case MothCommit(f) => f }.toSet
-      new java.io.File(path).listFiles((_, n) => n.endsWith(".moth"))
-        .foreach(f => if (!keep.contains(f.getName)) f.delete())
+      val fs = Sources.fileSystemOf(path)
+      scala.util.Try(MothTable.listFiles(path)).getOrElse(Nil).foreach { f =>
+        val p = new Path(f)
+        if (!keep.contains(p.getName)) fs.delete(p, false)
+      }
     }
   }
 
-  override def abort(messages: Array[WriterCommitMessage]): Unit =
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = Sources.fileSystemOf(path)
     messages.foreach {
-      case MothCommit(f) => new java.io.File(path, f).delete()
+      case MothCommit(f) => fs.delete(new Path(path, f), false)
       case _ =>
     }
+  }
 }
 
 case class MothCommit(fileName: String) extends WriterCommitMessage
@@ -162,9 +169,14 @@ case class MothDataWriterFactory(path: String, schema: StructType, queryId: Stri
 class MothDataWriter(path: String, schema: StructType, queryId: String,
     codec: CompressionKind.Value, partitionId: Int, taskId: Long)
     extends DataWriter[InternalRow] {
+  import org.apache.hadoop.fs.Path
+  // storage-agnostic output: attempt-private tmp created via the path's
+  // FileSystem, atomically renamed into place at task commit (HDFS rename is
+  // atomic; the local FS maps to File.renameTo)
+  private val fs = graft.core.file.Sources.fileSystemOf(path)
   private val fileName = f"part-$partitionId%05d-$queryId.moth"
-  private val tmp = new java.io.File(path, s"$fileName.$taskId.tmp")
-  private val fos = new java.io.BufferedOutputStream(new java.io.FileOutputStream(tmp), 1 << 16)
+  private val tmp = new Path(path, s"$fileName.$taskId.tmp")
+  private val fos = new java.io.BufferedOutputStream(fs.create(tmp, true), 1 << 16)
   private val writer = new MothFileWriter(fos, SparkBridge.toMothStruct(schema), codec, WriterOpts())
   private val batch = new InternalBridge.VecBuilder(schema, graft.spark.MothSpark.BatchSize)
 
@@ -177,12 +189,16 @@ class MothDataWriter(path: String, schema: StructType, queryId: String,
     if (batch.count > 0) writer.write(batch.build())
     writer.close()
     fos.close()
-    val dst = new java.io.File(path, fileName)
-    if (!tmp.renameTo(dst)) throw new java.io.IOException(s"rename $tmp -> $dst failed")
+    val dst = new Path(path, fileName)
+    fs.delete(dst, false) // a lost earlier attempt's rename; this attempt won
+    if (!fs.rename(tmp, dst)) throw new java.io.IOException(s"rename $tmp -> $dst failed")
     MothCommit(fileName)
   }
 
-  override def abort(): Unit = { try fos.close() catch { case _: Exception => }; tmp.delete() }
+  override def abort(): Unit = {
+    try fos.close() catch { case _: Exception => }
+    fs.delete(tmp, false)
+  }
   override def close(): Unit = ()
 }
 

@@ -35,9 +35,11 @@ class MothMicroBatchStream(path: String, required: StructType,
     with SupportsTriggerAvailableNow {
 
   private def currentFiles(): Seq[String] = {
-    val d = new java.io.File(path)
-    val fs = d.listFiles((_, n) => n.endsWith(".moth"))
-    if (fs == null) Nil else fs.map(_.getName).toSeq.sorted
+    // Hadoop FileSystem listing (any scheme); names only — the offset and
+    // log store names relative to the watched directory
+    try graft.core.file.Sources.listMoth(path)
+      .map(f => new org.apache.hadoop.fs.Path(f).getName).sorted
+    catch { case _: java.io.FileNotFoundException => Nil }
   }
 
   /** Trigger.AvailableNow end-bound: everything visible at query start. */
@@ -79,7 +81,7 @@ class MothMicroBatchStream(path: String, required: StructType,
     val seen = start.asInstanceOf[MothStreamOffset].files.toSet
     val fresh = end.asInstanceOf[MothStreamOffset].files.filterNot(seen)
     fresh.map { n =>
-      MothInputPartition(new java.io.File(path, n).getAbsolutePath, 0L, Long.MaxValue)
+      MothInputPartition(new org.apache.hadoop.fs.Path(path, n).toString, 0L, Long.MaxValue)
     }.toArray
   }
 

@@ -438,6 +438,39 @@ class SparkSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(back.agg(min("ts")).collect().head == expect.agg(min("ts")).collect().head)
   }
 
+  test("Hadoop FileSystem abstraction: non-local scheme write/scan/stream-list + HadoopSource reads") {
+    import graft.core.file.{Sources, HadoopSource, FileSource}
+    // register a non-`file:` scheme backed by the local FS — the DSv2 write,
+    // listing, tail cache and partition readers must all route through
+    // Hadoop FileSystem for it to work (java.io.File would throw)
+    Sources.conf.set("fs.testfs.impl", classOf[TestLocalFs].getName)
+    val dir = tmpDir() + "/hfs"
+    val uri = s"testfs:$dir"
+    val df = spark.range(0, 5000).toDF("id")
+      .withColumn("s", concat(lit("v"), (col("id") % 7).cast("string")))
+    df.write.format("moth").mode("overwrite").save(uri)
+    val local = new java.io.File(dir).listFiles((_, n) => n.endsWith(".moth"))
+    assert(local != null && local.nonEmpty, "write did not land under the mapped local dir")
+    val back = spark.read.format("moth").load(uri)
+    assert(back.count() == 5000)
+    assert(back.agg(sum("id")).collect().head.getLong(0) ==
+      df.agg(sum("id")).collect().head.getLong(0))
+    assert(back.filter(col("id") === 42L).count() == 1)
+    // HadoopSource positioned reads == direct file reads
+    val f = local.head
+    val hs = new HadoopSource(
+      new org.apache.hadoop.fs.Path(s"testfs:${f.getAbsolutePath}"), Sources.conf)
+    val ls = new FileSource(f.getAbsolutePath)
+    assert(hs.size == ls.size)
+    val n = math.min(hs.size, 1L << 16).toInt
+    assert(java.util.Arrays.equals(hs.read(hs.size - n, n), ls.read(ls.size - n, n)))
+    assert(java.util.Arrays.equals(hs.read(0, n / 2), ls.read(0, n / 2)))
+    hs.close(); ls.close()
+    // append through the scheme (schema check reads an existing footer)
+    df.limit(10).write.format("moth").mode("append").save(uri)
+    assert(spark.read.format("moth").load(uri).count() == 5010)
+  }
+
   test("whole-file size parity: default writer <= reference-equivalent writer on transcripts") {
     // The RLE-level gate (RleSpec) proves default <= refCompat per integer
     // stream; this binds the WHOLE layout: same transcripts fixture, same
@@ -686,4 +719,11 @@ class SparkSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(mothBytes < pqBytes * 1.15,
       s"MOTH ($mothBytes) should be within 15% of parquet-zstd ($pqBytes)")
   }
+}
+
+/** Test-only Hadoop FileSystem under the `testfs:` scheme, mapping onto the
+  * local filesystem — proves no code path shortcuts to java.io.File.
+  */
+class TestLocalFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("testfs:///")
 }
