@@ -566,7 +566,8 @@ class MothScan(path: String, required: StructType, predicate: StatsPredicate,
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new MothMicroBatchStream(path, required, predicate, maxFilesPerTrigger)
+    new MothMicroBatchStream(path, required, predicate, maxFilesPerTrigger,
+      checkpointLocation)
 
   /** Footer-derived stats — lets Catalyst see table size without a scan
     * (broadcast-join thresholds at 100TB depend on this).

@@ -1,21 +1,29 @@
 package graft.spark.source
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types.StructType
-import graft.core.file.StatsPredicate
+import graft.core.file.{Sources, StatsPredicate}
 
 /** Streaming face of the moth format:
   * `spark.readStream.format("moth").schema(s).load(dir)`.
   *
-  * File-arrival micro-batch source (the FileStreamSource pattern): an offset
-  * is the sorted set of file names processed so far; each micro-batch reads
-  * exactly the files that appeared since the previous offset, through the
-  * same PartitionReaderFactory as the batch scan (columnar path, stream-level
-  * projection, stats pruning). Offsets persist in the query checkpoint, so a
-  * restarted query resumes from the last committed file set — pairs with the
-  * epoch-id MOTH sink (graft.spark.StreamingEncode) for end-to-end
-  * exactly-once file streaming.
+  * File-arrival micro-batch source (the FileStreamSource pattern). The
+  * OFFSET is a single monotone log index — O(1) bytes regardless of how
+  * many files have been processed — into an append-only file log kept under
+  * the query checkpoint (`<checkpoint>/moth-file-log/`): entry `i` lists
+  * the file names admitted by batch `i`; every `compactInterval` entries a
+  * sibling `i.compact` snapshot of the full seen set is written and delta
+  * entries older than the previous compact are deleted. At 100k processed
+  * files the old name-set offset rewrote ~5MB of JSON per micro-batch
+  * forever; the log writes only each batch's delta once, keeps the
+  * checkpoint directory bounded, and the offset the engine hands Spark's
+  * offset WAL stays a dozen bytes.
+  *
+  * Restart reads `seen` back from the log (latest compact + deltas), so a
+  * recovered query resumes exactly-once; offsets from pre-log checkpoints
+  * (a JSON name array) are still accepted and migrated on the next batch.
   *
   * Admission control: `option("maxFilesPerTrigger", n)` caps each
   * micro-batch at n new files — at 100 TB a backlog of 100k files must
@@ -25,20 +33,24 @@ import graft.core.file.StatsPredicate
   *
   * Files must be immutable once visible (the MOTH writers rename
   * task-attempt-private tmp files into place atomically, so a query watching
-  * a MOTH output directory never sees a partial file). The offset grows with
-  * the file count — names only, ~50 B per file — which matches what Spark's
-  * own file source keeps in its file-stream log.
+  * a MOTH output directory never sees a partial file).
   */
 class MothMicroBatchStream(path: String, required: StructType,
-    predicate: StatsPredicate, maxFilesPerTrigger: Option[Int] = None)
+    predicate: StatsPredicate, maxFilesPerTrigger: Option[Int] = None,
+    checkpointLocation: String = null,
+    compactInterval: Int = MothStreamLog.DefaultCompactInterval)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
+  private val log = new MothStreamLog(
+    new Path(if (checkpointLocation != null) checkpointLocation else path,
+      "moth-file-log"),
+    compactInterval)
+
   private def currentFiles(): Seq[String] = {
-    // Hadoop FileSystem listing (any scheme); names only — the offset and
-    // log store names relative to the watched directory
-    try graft.core.file.Sources.listMoth(path)
-      .map(f => new org.apache.hadoop.fs.Path(f).getName).sorted
+    // Hadoop FileSystem listing (any scheme); names only — the offset log
+    // stores names relative to the watched directory
+    try Sources.listMoth(path).map(f => new Path(f).getName).sorted
     catch { case _: java.io.FileNotFoundException => Nil }
   }
 
@@ -50,14 +62,22 @@ class MothMicroBatchStream(path: String, required: StructType,
   override def getDefaultReadLimit: ReadLimit =
     maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
 
-  override def initialOffset(): Offset = MothStreamOffset(Nil)
+  override def initialOffset(): Offset = MothLogOffset(0L)
 
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(
       "latestOffset(Offset, ReadLimit) should be called instead of this method")
 
+  /** Seen set at an offset: log reconstruction for index offsets, the
+    * literal name list for legacy (pre-log) offsets.
+    */
+  private def seenAt(o: Offset): Set[String] = o match {
+    case MothLogOffset(i) => log.seenAt(i)
+    case MothStreamOffset(names) => names.toSet
+  }
+
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val seen = start.asInstanceOf[MothStreamOffset].files.toSet
+    val seen = seenAt(start)
     val visible = availableNowCap match {
       case Some(cap) => currentFiles().filter(cap)
       case None => currentFiles()
@@ -67,21 +87,42 @@ class MothMicroBatchStream(path: String, required: StructType,
       case m: ReadMaxFiles => fresh.take(m.maxFiles())
       case _ => fresh
     }
-    MothStreamOffset((seen ++ take).toSeq.sorted)
+    if (take.isEmpty) {
+      // no progress: re-hand Spark the same offset (legacy offsets migrate
+      // to a compact log entry so the old name list never grows further)
+      start match {
+        case MothLogOffset(i) => MothLogOffset(i)
+        case MothStreamOffset(_) => MothLogOffset(log.appendMigrated(seen))
+      }
+    } else {
+      val next = start match {
+        case MothLogOffset(i) => log.append(i + 1, take, seen)
+        case MothStreamOffset(_) =>
+          // first batch after a legacy checkpoint: write a compact entry so
+          // reconstruction never needs the legacy offset again
+          log.appendMigrated(seen ++ take)
+      }
+      MothLogOffset(next)
+    }
   }
 
-  override def reportLatestOffset(): Offset = MothStreamOffset(currentFiles())
+  override def reportLatestOffset(): Offset = MothLogOffset(log.lastIndex())
 
   override def deserializeOffset(json: String): Offset =
-    MothStreamOffset(MothStreamOffset.parse(json))
+    if (json.trim.startsWith("[")) MothStreamOffset(MothStreamOffset.parse(json))
+    else MothLogOffset(MothLogOffset.parse(json))
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val seen = start.asInstanceOf[MothStreamOffset].files.toSet
-    val fresh = end.asInstanceOf[MothStreamOffset].files.filterNot(seen)
+    val fresh: Seq[String] = (start, end) match {
+      case (MothLogOffset(a), MothLogOffset(b)) => log.deltasBetween(a, b)
+      case _ =>
+        val seen = seenAt(start)
+        seenAt(end).filterNot(seen).toSeq.sorted
+    }
     fresh.map { n =>
-      MothInputPartition(new org.apache.hadoop.fs.Path(path, n).toString, 0L, Long.MaxValue)
+      MothInputPartition(new Path(path, n).toString, 0L, Long.MaxValue)
     }.toArray
   }
 
@@ -89,8 +130,147 @@ class MothMicroBatchStream(path: String, required: StructType,
     MothReaderFactory(required, predicate)
 }
 
-/** Offset = sorted file names seen so far, serialized as a JSON string
-  * array (the checkpoint offset-log format).
+/** Compact offset: a monotone index into the file log — `{"i":N}`. */
+case class MothLogOffset(index: Long) extends Offset {
+  override def json(): String = s"""{"i":$index}"""
+}
+
+object MothLogOffset {
+  def parse(json: String): Long = {
+    val m = java.util.regex.Pattern.compile("\\{\\s*\"i\"\\s*:\\s*(\\d+)\\s*\\}")
+      .matcher(json.trim)
+    require(m.matches(), s"bad moth log offset: $json")
+    m.group(1).toLong
+  }
+}
+
+/** Append-only processed-file log under the query checkpoint.
+  *
+  * Entry `i` ("%020d") lists the names admitted by batch `i`, one per line
+  * after a version header. Every `compactInterval` entries an `i.compact`
+  * file snapshots the full seen set; delta entries at or below the
+  * PREVIOUS compact index are then deleted (Spark never replans batches
+  * older than its committed offset, and a full compact interval of slack is
+  * kept). All writes are tmp+rename through Hadoop FileSystem, so the log
+  * works on any scheme and a crashed write is invisible.
+  *
+  * Uncommitted tail entries (written by a `latestOffset` whose batch never
+  * committed before a crash) are simply overwritten by the restarted
+  * query's next batch — they are never referenced by a committed offset.
+  */
+class MothStreamLog(dir: Path, compactInterval: Int) {
+  private val fs: FileSystem = dir.getFileSystem(Sources.conf)
+  fs.mkdirs(dir)
+
+  // reconstruction cache: (index, seen set at that index)
+  private var cached: (Long, Set[String]) = (0L, Set.empty)
+
+  private def entryPath(i: Long): Path = new Path(dir, f"$i%020d")
+  private def compactPath(i: Long): Path = new Path(dir, f"$i%020d.compact")
+
+  private def indexOf(name: String): Option[Long] = {
+    val base = name.stripSuffix(".compact")
+    if (base.forall(_.isDigit) && base.nonEmpty) Some(base.toLong) else None
+  }
+
+  private def listLog(): Seq[(Long, Boolean)] =
+    (try fs.listStatus(dir).toSeq catch {
+      case _: java.io.FileNotFoundException => Nil
+    }).flatMap { st =>
+      val n = st.getPath.getName
+      indexOf(n).map(i => (i, n.endsWith(".compact")))
+    }
+
+  def lastIndex(): Long = {
+    val l = listLog()
+    if (l.isEmpty) 0L else l.map(_._1).max
+  }
+
+  private def readNames(p: Path): Seq[String] = {
+    val in = fs.open(p)
+    try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+      val lines = new String(bytes.toByteArray, "UTF-8").split("\n", -1).toSeq
+      require(lines.headOption.exists(_.startsWith("v1")), s"bad log entry $p")
+      lines.drop(1).filter(_.nonEmpty)
+    } finally in.close()
+  }
+
+  private def writeNames(p: Path, names: Iterable[String]): Unit = {
+    val tmp = new Path(dir, s".${p.getName}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write((Iterator("v1") ++ names.iterator).mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    fs.delete(p, false)
+    if (!fs.rename(tmp, p)) throw new java.io.IOException(s"rename $tmp -> $p failed")
+  }
+
+  /** Seen set after batch `upTo`: latest compact at or below, plus deltas. */
+  def seenAt(upTo: Long): Set[String] = synchronized {
+    if (upTo == 0L) return Set.empty
+    if (cached._1 == upTo) return cached._2
+    val entries = listLog().filter(_._1 <= upTo)
+    val compactBase = entries.filter(_._2).map(_._1).maxOption
+    var seen: Set[String] = compactBase match {
+      case Some(c) => readNames(compactPath(c)).toSet
+      case None => Set.empty
+    }
+    entries.filter { case (i, isC) => !isC && i > compactBase.getOrElse(0L) }
+      .sortBy(_._1)
+      .foreach { case (i, _) => seen ++= readNames(entryPath(i)) }
+    cached = (upTo, seen)
+    seen
+  }
+
+  /** Names admitted by batches in (a, b]. */
+  def deltasBetween(a: Long, b: Long): Seq[String] = synchronized {
+    ((a + 1) to b).flatMap { i =>
+      val p = entryPath(i)
+      if (fs.exists(p)) readNames(p)
+      else readNames(compactPath(i)).filterNot(seenAt(i - 1)) // compact-only entry
+    }.sorted
+  }
+
+  /** Append batch `i`'s delta (given the seen set before it); returns `i`.
+    * Writes a compact snapshot every `compactInterval` batches and prunes
+    * deltas at or below the previous compact index.
+    */
+  def append(i: Long, names: Seq[String], seenBefore: Set[String]): Long = synchronized {
+    writeNames(entryPath(i), names.sorted)
+    val seenNow = seenBefore ++ names
+    if (i % compactInterval == 0) {
+      writeNames(compactPath(i), seenNow.toSeq.sorted)
+      val prevCompact = i - compactInterval
+      listLog().foreach { case (j, isC) =>
+        if (!isC && j <= prevCompact) fs.delete(entryPath(j), false)
+        if (isC && j < prevCompact) fs.delete(compactPath(j), false)
+      }
+    }
+    cached = (i, seenNow)
+    i
+  }
+
+  /** Migration from a legacy name-set offset: snapshot the whole seen set
+    * as a compact entry at lastIndex+1 and return that index.
+    */
+  def appendMigrated(seen: Set[String]): Long = synchronized {
+    val i = lastIndex() + 1
+    writeNames(compactPath(i), seen.toSeq.sorted)
+    cached = (i, seen)
+    i
+  }
+}
+
+object MothStreamLog {
+  val DefaultCompactInterval = 10
+}
+
+/** Legacy offset (pre-log checkpoints): sorted file names seen so far,
+  * serialized as a JSON string array. Still parsed so an existing query
+  * checkpoint restarts cleanly; new offsets are always [[MothLogOffset]].
   */
 case class MothStreamOffset(files: Seq[String]) extends Offset {
   override def json(): String =

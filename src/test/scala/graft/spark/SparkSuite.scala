@@ -252,6 +252,41 @@ class SparkSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(sess == Seq(("cA", 2L), ("cB", 1L)), s"closed conversations, got $sess")
   }
 
+  test("streaming offset log: O(1) offset, bounded checkpoint dir at 10k files, restart reconstructs") {
+    import graft.spark.source.{MothStreamLog, MothLogOffset}
+    import org.apache.hadoop.fs.Path
+    val dir = new Path(tmpDir(), "moth-file-log")
+    val log = new MothStreamLog(dir, compactInterval = 10)
+    var seen = Set.empty[String]
+    var idx = 0L
+    // 10k-file backlog drained as 1000 batches of 10
+    (1 to 1000).foreach { b =>
+      val names = (0 until 10).map(j => f"part-${b * 10 + j}%07d.moth")
+      idx = log.append(b.toLong, names, seen)
+      seen ++= names
+    }
+    assert(seen.size == 10000)
+    // the offset Spark persists per batch stays O(1) in processed-file count
+    assert(MothLogOffset(idx).json().length < 32)
+    // compaction bounds the log dir (one interval of deltas + 2 compacts),
+    // vs 1000 entries (or a 10k-name offset rewrite per batch) without it
+    val files = new java.io.File(dir.toString).listFiles()
+      .filterNot(_.getName.startsWith("."))
+    assert(files.length <= 24, s"log dir grew unbounded: ${files.length} files")
+    // a fresh instance (= restarted query) reconstructs the exact seen set
+    val log2 = new MothStreamLog(dir, 10)
+    assert(log2.lastIndex() == 1000L)
+    assert(log2.seenAt(1000L) == seen)
+    // replanning the last batch reads exactly its delta
+    assert(log2.deltasBetween(999L, 1000L) ==
+      (0 until 10).map(j => f"part-${10000 + j}%07d.moth"))
+    // legacy name-set offsets migrate into a compact snapshot
+    val migrated = Set("old-1.moth", "old-2.moth", "new.moth")
+    val mi = log2.appendMigrated(migrated)
+    assert(new MothStreamLog(dir, 10).seenAt(mi) == migrated)
+    assert(MothLogOffset.parse("""{"i":42}""") == 42L)
+  }
+
   test("streaming moth source: new files per micro-batch, exactly-once across restart") {
     val s = spark
     import s.implicits._
