@@ -142,6 +142,7 @@ final class MothFileWriter(out: OutputStream, schema: MothType.TStruct,
   private var stripeRawBytes = 0L
   private var rgRows = 0
   private var fileRows = 0L
+  private var peakRetained = 0L
   private var closed = false
 
   def write(v: ColVec): Unit = {
@@ -160,6 +161,7 @@ final class MothFileWriter(out: OutputStream, schema: MothType.TStruct,
         optimizer.optimize(root.bufferedBytes, stripeRows)
       }
       val buffered = root.bufferedBytes
+      if (buffered > peakRetained) peakRetained = buffered
       if (stripeRows >= opts.stripeMaxRowCount) flushStripe("MAX_ROWS")
       else if (buffered > opts.stripeMaxBytes) flushStripe("MAX_BYTES")
       else if (optimizer.isFull(buffered)) flushStripe("DICTIONARY_FULL")
@@ -202,6 +204,11 @@ final class MothFileWriter(out: OutputStream, schema: MothType.TStruct,
 
   def bytesWritten: Long = offset
   def bufferedBytes: Long = root.bufferedBytes
+  /** High-water mark of encoder retained bytes — the reference's
+    * GetRetainedBytes observable (e.g. LongOutputStreamV2.go:506-508),
+    * surfaced so task-memory budgets can be tuned from metrics.
+    */
+  def peakRetainedBytes: Long = peakRetained
 
   private def writeHeader(): Unit = {
     out.write(Meta.Magic)

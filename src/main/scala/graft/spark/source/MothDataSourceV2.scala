@@ -118,6 +118,10 @@ class MothWrite(path: String, schema: StructType, queryId: String,
   import graft.core.file.Sources
   override def toBatch: BatchWrite = this
 
+  override def supportedCustomMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    Array(new MothRetainedPeakMetric, new MothBytesWrittenMetric)
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val fs = Sources.fileSystemOf(path)
     fs.mkdirs(new Path(path))
@@ -200,6 +204,14 @@ class MothDataWriter(path: String, schema: StructType, queryId: String,
     fs.delete(tmp, false)
   }
   override def close(): Unit = ()
+
+  override def currentMetricsValues()
+      : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(MothTaskMetric("mothRetainedPeak",
+        math.max(writer.peakRetainedBytes, writer.bufferedBytes)),
+      // Spark's last metric poll precedes commit() (which flushes the file
+      // tail), so count buffered-but-unflushed bytes as produced output
+      MothTaskMetric("mothBytesWritten", writer.bytesWritten + writer.bufferedBytes))
 }
 
 class MothScanBuilder(path: String, fullSchema: StructType,
@@ -564,6 +576,10 @@ class MothScan(path: String, required: StructType, predicate: StatsPredicate,
   override def createReaderFactory(): PartitionReaderFactory =
     MothReaderFactory(required, predicate)
 
+  override def supportedCustomMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    Array(new MothBytesReadMetric)
+
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new MothMicroBatchStream(path, required, predicate, maxFilesPerTrigger,
@@ -634,6 +650,9 @@ class MothColumnarPartitionReader(part: MothInputPartition, required: StructType
   }
   override def get(): ColumnarBatch = current
   override def close(): Unit = reader.close()
+  override def currentMetricsValues()
+      : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(MothTaskMetric("mothBytesRead", reader.bytesRead))
 }
 
 class MothPartitionReader(part: MothInputPartition, required: StructType,
@@ -662,4 +681,7 @@ class MothPartitionReader(part: MothInputPartition, required: StructType,
   }
   override def get(): InternalRow = current
   override def close(): Unit = reader.close()
+  override def currentMetricsValues()
+      : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(MothTaskMetric("mothBytesRead", reader.bytesRead))
 }

@@ -252,6 +252,55 @@ class SparkSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(sess == Seq(("cA", 2L), ("cB", 1L)), s"closed conversations, got $sess")
   }
 
+  test("custom metrics: encoder retained-peak + bytes written/read surface in plan metrics") {
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    val d = tmpDir() + "/metrics"
+    val df = TranscriptGen.transcripts(spark, 5000, seed = 11)
+    // write metrics: captured from the V2 write exec node via listener
+    val captured = new java.util.concurrent.CopyOnWriteArrayList[QueryExecution]()
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+        captured.add(qe)
+      override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      df.write.format("moth").mode("overwrite").save(d)
+      def findMetrics() = {
+        import scala.jdk.CollectionConverters._
+        captured.asScala.flatMap(_.executedPlan.collectFirst {
+          case p if p.metrics.contains("mothRetainedPeak") => p.metrics
+        }).headOption
+      }
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (findMetrics().isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+      val wm = findMetrics()
+      assert(wm.isDefined,
+        s"no write node with moth metrics among ${captured.size()} captured plans")
+      assert(wm.get("mothRetainedPeak").value > 0, "retained-peak metric not populated")
+      assert(wm.get("mothBytesWritten").value > 0, "bytes-written metric not populated")
+    } finally spark.listenerManager.unregister(listener)
+    // scan metrics: AQE off so the executed node objects are the planned ones
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val q = spark.read.format("moth").load(d).select("conv_id")
+      q.collect()
+      val sm = q.queryExecution.executedPlan.collectFirst {
+        case p if p.metrics.contains("mothBytesRead") => p.metrics
+      }
+      assert(sm.isDefined, "no scan node with mothBytesRead")
+      val read = sm.get("mothBytesRead").value
+      assert(read > 0, "bytes-read metric not populated")
+      // sanity: fetched bytes stay within file bytes + tail parses (these
+      // tiny test stripes take the whole-stripe read path; the stream-level
+      // projection saving itself is asserted in FileSpec's IO tests)
+      val total = new java.io.File(d).listFiles((_, n) => n.endsWith(".moth"))
+        .map(_.length()).sum
+      assert(read <= total + (64 << 10), s"read $read of $total on-disk bytes")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("streaming offset log: O(1) offset, bounded checkpoint dir at 10k files, restart reconstructs") {
     import graft.spark.source.{MothStreamLog, MothLogOffset}
     import org.apache.hadoop.fs.Path
