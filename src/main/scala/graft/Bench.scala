@@ -32,6 +32,40 @@ object Bench {
   final case class Trial(secs: Double, rows: Long, rawBytes: Long,
       fileBytes: Long, calibMs: Long, calibAluMs: Long)
 
+  /** Best-known CONVERGED quiet scaling measurement, persisted to
+    * BENCH/quiet_state.json (committed with the repo). Only a run whose
+    * quiet trials converged on both levels may write it; a later run that
+    * never sees a quiet window reports this instead of its storm minima.
+    */
+  final case class QuietState(turns: Long, coresN: Int, tN: Double, t4N: Double,
+      eff: Double, ratio: Double, quietN: Int, quiet4N: Int, ts: String) {
+    def save(p: java.nio.file.Path): Unit = {
+      Files.createDirectories(p.getParent)
+      Files.writeString(p,
+        f"""{"turns":$turns,"coresN":$coresN,"tN":$tN%.2f,"t4N":$t4N%.2f,"eff":$eff%.3f,"""+
+        f""""ratio":$ratio%.2f,"quietN":$quietN,"quiet4N":$quiet4N,"ts":"$ts"}""")
+    }
+  }
+
+  object QuietState {
+    /** Load iff present and keyed to the same (turns, coresN) workload. */
+    def load(p: java.nio.file.Path, turns: Long, coresN: Int): Option[QuietState] = {
+      if (!Files.exists(p)) return None
+      val s = Files.readString(p)
+      def num(k: String): Option[Double] =
+        ("\"" + k + "\"\\s*:\\s*([-0-9.]+)").r.findFirstMatchIn(s).map(_.group(1).toDouble)
+      def str(k: String): Option[String] =
+        ("\"" + k + "\"\\s*:\\s*\"([^\"]*)\"").r.findFirstMatchIn(s).map(_.group(1))
+      for {
+        t <- num("turns").map(_.toLong) if t == turns
+        c <- num("coresN").map(_.toInt) if c == coresN
+        tN <- num("tN"); t4N <- num("t4N"); eff <- num("eff"); ratio <- num("ratio")
+        qN <- num("quietN").map(_.toInt); q4N <- num("quiet4N").map(_.toInt)
+        ts <- str("ts")
+      } yield QuietState(t, c, tN, t4N, eff, ratio, qN, q4N, ts)
+    }
+  }
+
   private def encodeRun(cpus: Int, turns: Long, outDir: String, parts: Int): Trial =
     finishChild(startChild(cpus, turns, outDir, parts, None, None))
 
@@ -200,18 +234,27 @@ object Bench {
     var trialsN = List.empty[Trial]
     var trials4N = List.empty[Trial]
     var pairs = List.empty[(Trial, Trial)]
-    // Per-level gating: an encoding child loads membw itself (more at 4N),
-    // so a trial's concurrent probe reading is only comparable to other
-    // trials OF THE SAME LEVEL — the engine's self-interference is constant
-    // within a level, the co-tenant storm is the variable.
-    def quiet(ts: List[Trial]): List[Trial] = {
-      if (ts.isEmpty) Nil
-      else {
-        val bestMem = ts.map(_.calibMs).min
-        val bestAlu = ts.map(_.calibAluMs).min
-        ts.filter(t => t.calibMs <= bestMem * 1.25 && t.calibAluMs <= bestAlu * 1.25)
-      }
-    }
+    // Absolute quiet-floor values, measured on this host class (membw probe
+    // ≈ 220ms, serial-ALU probe ≈ 265ms on an unloaded host). FIXED for
+    // gating: letting single probe readings tighten them retroactively
+    // disqualifies earlier quiet trials on probe jitter (observed: one fast
+    // ALU sample raised a level's quiet minimum 44%). Session minima are
+    // reported as diagnostics only.
+    val minMem = sys.env.getOrElse("SPARK_GRAFT_FLOOR_MEM", "220").toLong
+    val minAlu = sys.env.getOrElse("SPARK_GRAFT_FLOOR_ALU", "265").toLong
+    var obsMem = Long.MaxValue
+    var obsAlu = Long.MaxValue
+    // ABSOLUTE quiet gate: a trial is quiet iff its concurrent probe
+    // readings sit within 25% of the persisted quiet-host floors (seeded
+    // from measured values for this host class; a session opened inside a
+    // storm must NOT mistake "stable storm" for quiet, which is exactly
+    // what session-relative gating did in round 2 — it reported a storm
+    // number as the number of record). Probe minima observed this session
+    // can only TIGHTEN the floors (a faster host gates tighter, never
+    // looser). A level with ZERO quiet trials is NO-EVIDENCE, not "use the
+    // minimum anyway".
+    def quiet(ts: List[Trial]): List[Trial] =
+      ts.filter(t => t.calibMs <= minMem * 1.25 && t.calibAluMs <= minAlu * 1.25)
     // Between pairs, poll the same membw probe in-process and hold off
     // while the host is loud (bounded patience — a fully stormy session
     // still completes and reports its noise context).
@@ -219,19 +262,13 @@ object Bench {
     // pairs MUST launch at a gap's start. Poll both probes and hold until
     // both sit near their session floors — waiting is cheaper than burning
     // a pair into a storm (bounded by the deadline the caller passes).
-    // Absolute quiet-floor hints, measured on this host class (a session
-    // that opens inside a storm would otherwise mistake "stable storm" for
-    // quiet). Session minima can only tighten them; the deadline bounds the
-    // wait if the floor is never reached (e.g. different hardware).
-    var minMem = sys.env.getOrElse("SPARK_GRAFT_FLOOR_MEM", "220").toLong
-    var minAlu = sys.env.getOrElse("SPARK_GRAFT_FLOOR_ALU", "265").toLong
     def waitForQuiet(deadlineNanos: Long): Unit = {
       var quietStreak = 0
       while (quietStreak < 2 && System.nanoTime() < deadlineNanos) {
         val m = BenchChild.calibrate()
         val a = BenchChild.calibrateAlu()
-        minMem = math.min(minMem, m)
-        minAlu = math.min(minAlu, a)
+        obsMem = math.min(obsMem, m)
+        obsAlu = math.min(obsAlu, a)
         if (m <= minMem * 1.15 && a <= minAlu * 1.15) quietStreak += 1
         else { quietStreak = 0; Thread.sleep(15000) }
       }
@@ -241,7 +278,15 @@ object Bench {
     // sampled, the better. Run pairs until the time budget is spent or both
     // levels have CONVERGED (≥2 quiet trials within 3% of that level's
     // minimum — i.e. the minimum was reproduced, not a fluke).
-    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "1080").toInt
+    // Persisted best-known-quiet scaling state: a converged quiet
+    // measurement survives storm-scheduled later runs — those report it as
+    // the number of record (with provenance) instead of a storm minimum.
+    val statePath = Paths.get("BENCH/quiet_state.json")
+    val priorState: Option[QuietState] = QuietState.load(statePath, benchTurns, scaleN)
+    // Storms last 30-120 min; without a persisted quiet result the run must
+    // be prepared to outwait one, with it a moderate fresh attempt suffices.
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET",
+      if (priorState.isDefined) "1080" else "2400").toInt
     val tStart = System.nanoTime()
     def elapsed: Double = (System.nanoTime() - tStart) / 1e9
     def converged(ts: List[Trial]): Boolean = {
@@ -279,16 +324,20 @@ object Bench {
         f"pairEff=${a.secs / (4 * b.secs)}%.3f " +
         s"quietMinN=${qN.fold("-")(v => f"$v%.2f")} quietMin4N=${q4N.fold("-")(v => f"$v%.2f")}")
     }
-    // fall back to all trials only if a level never saw a quiet window
+    // This-run numbers: quiet minima when a level has quiet trials, raw
+    // minima otherwise (kept for the *ThisRun diagnostics either way).
     def pick(ts: List[Trial]): Trial = {
       val q = quiet(ts)
       (if (q.nonEmpty) q else ts).minBy(_.secs)
     }
+    val (quietCountN, quietCount4N) = (quiet(trialsN).size, quiet(trials4N).size)
+    val freshQuietBoth = quietCountN > 0 && quietCount4N > 0
+    val freshConverged = converged(trialsN) && converged(trials4N)
     // Concurrent mode: keep the estimator PAIR-MATCHED — the ratio is only
     // noise-invariant within one pair (same window). Report the quietest
     // pair's walls (so eff == tN/(4·t4N) consistently) plus the median
     // pair efficiency as a stability cross-check.
-    val (Trial(t8, rows8, raw8, bytes8, _, _), Trial(t32, rows32, _, _, _, _)) =
+    val (Trial(thisTN, thisRowsN, thisRaw, thisBytes, _, _), Trial(thisT4N, thisRows4N, _, _, _, _)) =
       if (concurrent) pairs.minBy(p => p._1.secs + 4 * p._2.secs)
       else (pick(trialsN), pick(trials4N))
     val pairEffs = pairs.map(p => p._1.secs / (4 * p._2.secs)).sorted
@@ -298,10 +347,36 @@ object Bench {
       val alu = (trialsN ++ trials4N).map(_.calibAluMs)
       s"mem ${mem.min}..${mem.max}ms, alu ${alu.min}..${alu.max}ms over ${mem.size} trials"
     }
-    val r8 = rows8 / t8
-    val r32 = rows32 / t32
-    val eff = r32 / (4.0 * r8)
-    val ratio = if (bytes8 == 0) 0.0 else raw8.toDouble / bytes8
+    val thisEff = (thisRows4N / thisT4N) / (4.0 * (thisRowsN / thisTN))
+    val thisRatio = if (thisBytes == 0) 0.0 else thisRaw.toDouble / thisBytes
+
+    // Number of record: fresh-converged beats everything (and refreshes the
+    // persisted state); otherwise a previously persisted converged quiet
+    // result beats this run's (possibly stormy) numbers; a fresh
+    // quiet-but-unconverged pair is better than nothing; zero quiet trials
+    // on either level is NO-EVIDENCE — the storm minimum is reported only
+    // as a last resort and labeled as such.
+    val nowIso = java.time.Instant.now().toString
+    val (t8, t32, eff, ratio, evidence) =
+      if (concurrent)
+        (thisTN, thisT4N, thisEff, thisRatio, "concurrent-pairs-crosscheck")
+      else if (freshConverged) {
+        QuietState(benchTurns, scaleN, thisTN, thisT4N, thisEff, thisRatio,
+          quietCountN, quietCount4N, nowIso).save(statePath)
+        (thisTN, thisT4N, thisEff, thisRatio, "fresh-converged-quiet")
+      } else priorState match {
+        case Some(st) =>
+          (st.tN, st.t4N, st.eff, st.ratio,
+            s"carried-from-converged-quiet-run(${st.ts}); no quiet convergence this run")
+        case None if freshQuietBoth =>
+          (thisTN, thisT4N, thisEff, thisRatio, "fresh-quiet-unconverged")
+        case None =>
+          (thisTN, thisT4N, thisEff, thisRatio,
+            "NO-EVIDENCE: zero quiet trials on at least one level (host storm); values are storm minima")
+      }
+    val (rows8, rows4N) = (thisRowsN, thisRows4N)
+    val raw8 = thisRaw
+    val bytes8 = thisBytes
 
     // Scaling-only runs carry no fresh query timings; keep the previous
     // run's query section instead of blanking the committed baseline.
@@ -322,13 +397,22 @@ object Bench {
           .getOrElse(Nil)
       }
     val effective = if (results.nonEmpty) results else prior
+    val queriesCarried = results.isEmpty && prior.nonEmpty
     val qs = effective.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val total = effective.map(_._2).sum
+    val r8 = rows8 / t8
+    val r32 = rows4N / t32
     val json =
       f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"sf":"$sfDir","""+
       f""""encode":{"turns":$benchTurns,"coresN":$scaleN,"tN":$t8%.2f,"t4N":$t32%.2f,"turnsPerSecN":$r8%.0f,"""+
       f""""turnsPerSec4N":$r32%.0f,"scalingEfficiency":$eff%.3f,"medianPairEff":$medianPairEff%.3f,"""+
       f""""compressionRatio":$ratio%.2f,"concurrentPairs":$concurrent,"""+
+      s""""scalingEvidence":"$evidence",""" +
+      f""""scalingEfficiencyThisRun":$thisEff%.3f,"tNThisRun":$thisTN%.2f,"t4NThisRun":$thisT4N%.2f,"""+
+      s""""quietTrialsN":$quietCountN,"quietTrials4N":$quietCount4N,"""+
+      s""""quietFloorsMs":{"mem":$minMem,"alu":$minAlu},"""+
+      s""""observedProbeMinMs":{"mem":${if (obsMem == Long.MaxValue) -1 else obsMem},"alu":${if (obsAlu == Long.MaxValue) -1 else obsAlu}},"""+
+      s""""queriesCarriedOver":$queriesCarried,"""+
       s""""hostCalibSpread":"$calibSpread"}}"""
     println(json)
 
@@ -351,14 +435,25 @@ object Bench {
          else
            "SEQUENTIAL QUIET-GATED trials — each level runs alone in its " +
            "own child JVM, trials interleave N/4N, a trial is quiet iff " +
-           "its concurrent membw+ALU probes sit within 25% of the session " +
-           "floor, and the per-level minimum over quiet trials is " +
-           "reported (noise only ever adds time, so the quiet minimum " +
-           "estimates the unloaded-host wall). Concurrent pinned pairs " +
-           "(SPARK_GRAFT_CONCURRENT=1) are kept as a cross-check but bias " +
-           "the ratio DOWN ~0.15-0.2: the 4N child needs ~4x the memory " +
-           "bandwidth to scale and co-running with the N child depresses " +
-           f"exactly that (median pair eff this session $medianPairEff%.3f)"}.
+           "its concurrent membw+ALU probes sit within 25% of the " +
+           s"PERSISTED ABSOLUTE host floors (mem ${minMem}ms / alu " +
+           s"${minAlu}ms; quiet trials this run: N=$quietCountN, " +
+           s"4N=$quietCount4N), and the per-level minimum over quiet " +
+           "trials is reported (noise only ever adds time, so the quiet " +
+           "minimum estimates the unloaded-host wall). A run with zero " +
+           "quiet trials on either level is NO-EVIDENCE: it reports the " +
+           "persisted best-known-quiet result below instead of a storm " +
+           "minimum. Concurrent pinned pairs (SPARK_GRAFT_CONCURRENT=1) " +
+           "are kept as a cross-check but bias the ratio DOWN ~0.15-0.2: " +
+           "the 4N child needs ~4x the memory bandwidth to scale and " +
+           "co-running with the N child depresses exactly that (median " +
+           f"pair eff this session $medianPairEff%.3f)"}.
+         |
+         |**Scaling evidence of record: $evidence** — this run measured
+         |tN=$thisTN%.2fs t4N=$thisT4N%.2fs eff=$thisEff%.3f.${
+           if (queriesCarried)
+             "\n**Query rows carried over from the previous run** (scaling-only invocation)."
+           else ""}
          |Host ceiling (parallel sha256): 2->8 cores 0.93, 4->16 cores 0.82,
          |8->32 cores 0.78 — the engine is measured in the 2->8 regime where
          |the hardware itself scales.
