@@ -40,18 +40,27 @@ object Bench {
       fileBytes: Long, calibMs: Long, calibAluMs: Long,
       meanMs: Long = 0L, meanAluMs: Long = 0L)
 
-  /** Best-known CONVERGED quiet scaling measurement, persisted to
-    * BENCH/quiet_state.json (committed with the repo). Only a run whose
-    * quiet trials converged on both levels may write it; a later run that
-    * never sees a quiet window reports this instead of its storm minima.
+  /** Accumulated quiet scaling evidence, persisted to
+    * BENCH/quiet_state.json (committed with the repo). Each run MERGES its
+    * quiet trials into per-level histories (the 8 best walls survive);
+    * convergence = the history minimum reproduced within 3% — across runs
+    * if necessary, since host-weather windows rarely let one run reproduce
+    * its own minimum. Storm trials never enter (the quiet gate filters
+    * them), so the histories only ever tighten toward the unloaded-host
+    * walls. `confirmed` records the converged (tN, t4N) once reached.
     */
-  final case class QuietState(turns: Long, coresN: Int, tN: Double, t4N: Double,
-      eff: Double, ratio: Double, quietN: Int, quiet4N: Int, ts: String) {
+  final case class QuietState(turns: Long, coresN: Int, ratio: Double,
+      histN: List[Double], hist4N: List[Double],
+      confirmed: Option[(Double, Double, Double, String)], ts: String) {
     def save(p: java.nio.file.Path): Unit = {
       Files.createDirectories(p.getParent)
+      def arr(xs: List[Double]) = xs.map(x => f"$x%.2f").mkString("[", ",", "]")
+      val conf = confirmed.map { case (tN, t4N, eff, cts) =>
+        f""","confirmed":{"tN":$tN%.2f,"t4N":$t4N%.2f,"eff":$eff%.3f,"ts":"$cts"}"""
+      }.getOrElse("")
       Files.writeString(p,
-        f"""{"turns":$turns,"coresN":$coresN,"tN":$tN%.2f,"t4N":$t4N%.2f,"eff":$eff%.3f,"""+
-        f""""ratio":$ratio%.2f,"quietN":$quietN,"quiet4N":$quiet4N,"ts":"$ts"}""")
+        f"""{"turns":$turns,"coresN":$coresN,"ratio":$ratio%.2f,"""+
+        s""""histN":${arr(histN)},"hist4N":${arr(hist4N)},"ts":"$ts"$conf}""")
     }
   }
 
@@ -62,15 +71,28 @@ object Bench {
       val s = Files.readString(p)
       def num(k: String): Option[Double] =
         ("\"" + k + "\"\\s*:\\s*([-0-9.]+)").r.findFirstMatchIn(s).map(_.group(1).toDouble)
+      def arr(k: String): List[Double] =
+        ("\"" + k + "\"\\s*:\\s*\\[([^\\]]*)\\]").r.findFirstMatchIn(s)
+          .map(_.group(1).split(",").toList.map(_.trim).filter(_.nonEmpty).map(_.toDouble))
+          .getOrElse(Nil)
       def str(k: String): Option[String] =
         ("\"" + k + "\"\\s*:\\s*\"([^\"]*)\"").r.findFirstMatchIn(s).map(_.group(1))
+      val confirmed = ("\"confirmed\"\\s*:\\s*\\{([^}]*)\\}").r.findFirstMatchIn(s)
+        .flatMap { m =>
+          val c = m.group(1)
+          def cn(k: String) = ("\"" + k + "\"\\s*:\\s*([-0-9.]+)").r
+            .findFirstMatchIn(c).map(_.group(1).toDouble)
+          def cs(k: String) = ("\"" + k + "\"\\s*:\\s*\"([^\"]*)\"").r
+            .findFirstMatchIn(c).map(_.group(1))
+          for (tN <- cn("tN"); t4N <- cn("t4N"); eff <- cn("eff"); cts <- cs("ts"))
+            yield (tN, t4N, eff, cts)
+        }
       for {
         t <- num("turns").map(_.toLong) if t == turns
         c <- num("coresN").map(_.toInt) if c == coresN
-        tN <- num("tN"); t4N <- num("t4N"); eff <- num("eff"); ratio <- num("ratio")
-        qN <- num("quietN").map(_.toInt); q4N <- num("quiet4N").map(_.toInt)
+        ratio <- num("ratio")
         ts <- str("ts")
-      } yield QuietState(t, c, tN, t4N, eff, ratio, qN, q4N, ts)
+      } yield QuietState(t, c, ratio, arr("histN"), arr("hist4N"), confirmed, ts)
     }
   }
 
@@ -351,8 +373,6 @@ object Bench {
       (if (q.nonEmpty) q else ts).minBy(_.secs)
     }
     val (quietCountN, quietCount4N) = (quiet(trialsN).size, quiet(trials4N).size)
-    val freshQuietBoth = quietCountN > 0 && quietCount4N > 0
-    val freshConverged = converged(trialsN) && converged(trials4N)
     // Concurrent mode: keep the estimator PAIR-MATCHED — the ratio is only
     // noise-invariant within one pair (same window). Report the quietest
     // pair's walls (so eff == tN/(4·t4N) consistently) plus the median
@@ -373,42 +393,89 @@ object Bench {
     val thisEff = (thisRows4N / thisT4N) / (4.0 * (thisRowsN / thisTN))
     val thisRatio = if (thisBytes == 0) 0.0 else thisRaw.toDouble / thisBytes
 
-    // Number of record: fresh-converged beats everything (and refreshes the
-    // persisted state); otherwise a previously persisted converged quiet
-    // result beats this run's (possibly stormy) numbers; a fresh
-    // quiet-but-unconverged pair is better than nothing; zero quiet trials
-    // on either level is NO-EVIDENCE — the storm minimum is reported only
+    // Number of record, from the MERGED quiet-trial histories (this run's
+    // quiet trials + the persisted histories of previous runs — each run is
+    // an independent sampling of the same deterministic workload, and noise
+    // only ever adds time, so per-level minima over all quiet samples are
+    // the estimator and "minimum reproduced within 3%" is convergence,
+    // whether the two samples came from one run or two). Zero quiet trials
+    // ever seen on a level is NO-EVIDENCE — storm minima are reported only
     // as a last resort and labeled as such.
     val nowIso = java.time.Instant.now().toString
+    // Optional one-time ingest of PRIOR bench logs (comma-separated paths):
+    // their trial lines re-gate under the same quiet rule and merge into the
+    // histories — real measurements of the same deterministic workload that
+    // predate the history feature are evidence too, and their lower minima
+    // raise the convergence bar against storm-window false agreement.
+    val (ingestN, ingest4N) = sys.env.get("SPARK_GRAFT_INGEST_LOGS") match {
+      case None => (Nil, Nil)
+      case Some(paths) =>
+        val newFmt = ("""tN=([0-9.]+) \(mean (\d+)/(\d+)ms worst \d+/\d+ms\) """ +
+          """t4N=([0-9.]+) \(mean (\d+)/(\d+)ms worst \d+/\d+ms\)""").r
+        // old format printed the WORST concurrent sample — using it as the
+        // mean is conservative (mean <= worst, so gating is stricter)
+        val oldFmt = ("""tN=([0-9.]+) \(mem (\d+)ms alu (\d+)ms\) """ +
+          """t4N=([0-9.]+) \(mem (\d+)ms alu (\d+)ms\)""").r
+        val (an, a4) = (List.newBuilder[Trial], List.newBuilder[Trial])
+        paths.split(",").map(_.trim).filter(_.nonEmpty).foreach { p =>
+          if (Files.exists(Paths.get(p))) Files.readString(Paths.get(p)).linesIterator.foreach { l =>
+            (newFmt.findFirstMatchIn(l) orElse oldFmt.findFirstMatchIn(l)).foreach { m =>
+              an += Trial(m.group(1).toDouble, 0, 0, 0, 0, 0,
+                m.group(2).toLong, m.group(3).toLong)
+              a4 += Trial(m.group(4).toDouble, 0, 0, 0, 0, 0,
+                m.group(5).toLong, m.group(6).toLong)
+            }
+          }
+        }
+        val (rn, r4) = (an.result(), a4.result())
+        println(s"  ingested ${rn.size} prior trial pairs " +
+          s"(${quiet(rn).size}/${quiet(r4).size} quiet N/4N) from $paths")
+        (rn, r4)
+    }
+    val mergedN = (priorState.map(_.histN).getOrElse(Nil) ++
+      quiet(trialsN ++ ingestN).map(_.secs)).sorted.take(8)
+    val merged4N = (priorState.map(_.hist4N).getOrElse(Nil) ++
+      quiet(trials4N ++ ingest4N).map(_.secs)).sorted.take(8)
+    def histConverged(h: List[Double]): Boolean =
+      h.nonEmpty && h.count(_ <= h.min * 1.03) >= 2
+    val convNow = histConverged(mergedN) && histConverged(merged4N)
+    val histEff = for (n <- mergedN.headOption; f <- merged4N.headOption)
+      yield n / (4.0 * f)
+    val priorConfirmed = priorState.flatMap(_.confirmed)
     val (t8, t32, eff, ratio, evidence) =
       if (concurrent)
         (thisTN, thisT4N, thisEff, thisRatio, "concurrent-pairs-crosscheck")
-      else if (freshConverged) {
-        // Guard against FALSE convergence (two similarly-inflated trials in
-        // one storm window can agree within 3% while both gate quiet — the
-        // 1-thread probes cannot feel all the membw weather an 8-thread
-        // child feels): noise only ever adds time, so a persisted converged
-        // result from a quieter window (lower total compute time
-        // tN + 4·t4N) outranks this run's.
-        val fresh = QuietState(benchTurns, scaleN, thisTN, thisT4N, thisEff,
-          thisRatio, quietCountN, quietCount4N, nowIso)
-        priorState match {
-          case Some(st) if st.tN + 4 * st.t4N < fresh.tN + 4 * fresh.t4N =>
-            (st.tN, st.t4N, st.eff, st.ratio,
-              s"converged-this-run-but-prior-quieter(${st.ts})")
+      else if (convNow) {
+        val (cn, c4) = (mergedN.min, merged4N.min)
+        val ce = cn / (4.0 * c4)
+        QuietState(benchTurns, scaleN, thisRatio, mergedN, merged4N,
+          Some((cn, c4, ce, nowIso)), nowIso).save(statePath)
+        (cn, c4, ce, thisRatio,
+          s"converged-quiet(historyN=${mergedN.size},history4N=${merged4N.size} quiet samples incl. prior runs)")
+      } else {
+        // not converged: persist the enlarged histories so the NEXT run
+        // keeps accumulating, then pick the best available evidence
+        if (mergedN.nonEmpty || merged4N.nonEmpty)
+          QuietState(benchTurns, scaleN, thisRatio, mergedN, merged4N,
+            priorConfirmed, nowIso).save(statePath)
+        priorConfirmed match {
+          // STALE-confirmed guard: if the histories have since seen a
+          // meaningfully lower wall on either level, the old convergence
+          // may itself have been two similarly-inflated trials agreeing in
+          // one storm window — stop carrying it and wait for the new
+          // (lower) minimum to reproduce
+          case Some((cn, c4, ce, cts))
+              if mergedN.headOption.forall(_ >= cn * 0.97) &&
+                merged4N.headOption.forall(_ >= c4 * 0.97) =>
+            (cn, c4, ce, thisRatio,
+              s"carried-from-converged-quiet($cts); no new convergence this run")
+          case _ if mergedN.nonEmpty && merged4N.nonEmpty =>
+            (mergedN.min, merged4N.min, histEff.get, thisRatio,
+              s"quiet-minima-unconverged(historyN=${mergedN.size},history4N=${merged4N.size})")
           case _ =>
-            fresh.save(statePath)
-            (thisTN, thisT4N, thisEff, thisRatio, "fresh-converged-quiet")
+            (thisTN, thisT4N, thisEff, thisRatio,
+              "NO-EVIDENCE: zero quiet trials on at least one level (host storm); values are storm minima")
         }
-      } else priorState match {
-        case Some(st) =>
-          (st.tN, st.t4N, st.eff, st.ratio,
-            s"carried-from-converged-quiet-run(${st.ts}); no quiet convergence this run")
-        case None if freshQuietBoth =>
-          (thisTN, thisT4N, thisEff, thisRatio, "fresh-quiet-unconverged")
-        case None =>
-          (thisTN, thisT4N, thisEff, thisRatio,
-            "NO-EVIDENCE: zero quiet trials on at least one level (host storm); values are storm minima")
       }
     val (rows8, rows4N) = (thisRowsN, thisRows4N)
     val raw8 = thisRaw

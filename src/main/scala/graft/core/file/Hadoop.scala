@@ -46,6 +46,55 @@ object Sources {
 
   def fileSystemOf(path: String): FileSystem = new Path(path).getFileSystem(conf)
 
+  def isLocalPath(path: String): Boolean = isLocal(new Path(path))
+
+  def mkdirs(path: String): Unit = {
+    if (isLocalPath(path)) new java.io.File(localPathOf(new Path(path))).mkdirs()
+    else fileSystemOf(path).mkdirs(new Path(path))
+  }
+
+  def exists(path: String): Boolean =
+    if (isLocalPath(path)) new java.io.File(localPathOf(new Path(path))).exists()
+    else fileSystemOf(path).exists(new Path(path))
+
+  /** Output stream for any scheme; the local fast path is a plain
+    * FileOutputStream (the encode hot path writes through this — no Hadoop
+    * wrapping for local/tmpfs output).
+    */
+  def createOutput(path: String): java.io.OutputStream =
+    if (isLocalPath(path)) new java.io.FileOutputStream(localPathOf(new Path(path)))
+    else fileSystemOf(path).create(new Path(path), true)
+
+  /** Atomic publish: rename src over dst (replacing it), any scheme. */
+  def atomicRename(src: String, dst: String): Unit = {
+    if (isLocalPath(src)) {
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(localPathOf(new Path(src))),
+        java.nio.file.Paths.get(localPathOf(new Path(dst))),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } else {
+      val fs = fileSystemOf(src)
+      fs.delete(new Path(dst), false)
+      if (!fs.rename(new Path(src), new Path(dst)))
+        throw new java.io.IOException(s"rename $src -> $dst failed")
+    }
+  }
+
+  def readAllBytes(path: String): Array[Byte] =
+    if (isLocalPath(path))
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(localPathOf(new Path(path))))
+    else {
+      val in = fileSystemOf(path).open(new Path(path))
+      try {
+        val bos = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+        bos.toByteArray
+      } finally in.close()
+    }
+
   /** All .moth files under `path` (or `path` itself if it is a file),
     * sorted by name — one listing RPC, no recursion (the writers lay files
     * flat, matching the reference's directory layout).

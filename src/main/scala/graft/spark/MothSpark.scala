@@ -117,7 +117,7 @@ object MothSpark {
       compression: CompressionKind.Value = CompressionKind.ZLIB,
       opts: WriterOpts = WriterOpts(),
       firstKeyCols: Seq[String] = Nil): Seq[Manifest] = {
-    new File(outDir).mkdirs()
+    Sources.mkdirs(outDir)
     val schema = df.schema
     val keyIdx = firstKeyCols.map(schema.fieldIndex).toArray
     val counts = df.queryExecution.toRdd.mapPartitions { rows =>
@@ -139,8 +139,8 @@ object MothSpark {
         // zombie attempts for the same partition then write distinct files
         // and the atomic rename decides the winner (no byte interleaving)
         val attempt = Option(TaskContext.get()).map(_.taskAttemptId()).getOrElse(0L)
-        val tmp = new File(outDir, file + s".$attempt.tmp")
-        val fos = new java.io.BufferedOutputStream(new FileOutputStream(tmp), 1 << 16)
+        val tmp = s"$outDir/$file.$attempt.tmp"
+        val fos = new java.io.BufferedOutputStream(Sources.createOutput(tmp), 1 << 16)
         var firstKey: Option[String] = None
         var lastKey: Option[String] = None
         // key bounds read from built batches — zero per-row overhead
@@ -152,8 +152,7 @@ object MothSpark {
         }
         val res = encodeInternalRows(schema, rows, fos, compression, opts, onVec)
         fos.close()
-        val dst = new File(outDir, file)
-        if (!tmp.renameTo(dst)) throw new java.io.IOException(s"rename $tmp failed")
+        Sources.atomicRename(tmp, s"$outDir/$file")
         Manifest(pid, snapshotId, res.rows, res.stripes.map(_.rawBytes).sum, res.bytes,
           file, res.stripes, firstKey, lastKey).write(mPath)
         Iterator.single(pid.toLong)
@@ -180,10 +179,9 @@ final case class Manifest(partition: Int, snapshotId: String, rows: Long,
 
   def write(path: String): Unit = {
     val tmp = path + ".tmp"
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(tmp), Manifest.toJson(this))
-    java.nio.file.Files.move(java.nio.file.Paths.get(tmp), java.nio.file.Paths.get(path),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    val out = Sources.createOutput(tmp)
+    try out.write(Manifest.toJson(this).getBytes("UTF-8")) finally out.close()
+    Sources.atomicRename(tmp, path)
   }
 }
 
@@ -215,7 +213,7 @@ object Manifest {
 
   /** Minimal JSON field scraping — we only read back what we wrote. */
   def read(path: String): Manifest = {
-    val s = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
+    val s = new String(Sources.readAllBytes(path), "UTF-8")
     def longOf(k: String): Long = {
       val m = java.util.regex.Pattern.compile("\"" + k + "\":(-?\\d+)").matcher(s)
       require(m.find(), s"missing $k in $path")
@@ -231,8 +229,7 @@ object Manifest {
   }
 
   def readIfValid(path: String, snapshotId: String): Option[Manifest] = {
-    val f = new File(path)
-    if (!f.exists()) None
+    if (!Sources.exists(path)) None
     else {
       try {
         val m = read(path)
