@@ -323,7 +323,11 @@ object Bench {
     // Persisted best-known-quiet scaling state: a converged quiet
     // measurement survives storm-scheduled later runs — those report it as
     // the number of record (with provenance) instead of a storm minimum.
-    val statePath = Paths.get("BENCH/quiet_state.json")
+    // one state file per (coresN, turns) workload key — the two scaling
+    // regimes (N=2 default, N=1 diagnostic) must not clobber each other
+    val statePath =
+      if (scaleN == 2 && benchTurns == 2000000L) Paths.get("BENCH/quiet_state.json")
+      else Paths.get(s"BENCH/quiet_state_c${scaleN}_t$benchTurns.json")
     val priorState: Option[QuietState] = QuietState.load(statePath, benchTurns, scaleN)
     // Storms last 30-120 min; without a persisted quiet result the run must
     // be prepared to outwait one, with it a moderate fresh attempt suffices.
