@@ -88,10 +88,22 @@ class MothTable(path: String, tableSchema: StructType) extends Table
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ)
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // ranged-IO tuning reaches every partition reader: on an object store
+    // the right merge distance / read cap differ from local-disk defaults
+    def longOpt(k: String, dflt: Long): Long =
+      Option(options.get(k)).map(_.toLong).getOrElse(dflt)
+    val dfltOpts = graft.core.file.ReaderOpts()
+    val readerOpts = graft.core.file.ReaderOpts(
+      maxMergeDistance = longOpt("mergeDistance", dfltOpts.maxMergeDistance),
+      maxReadSize = longOpt("maxReadSize", dfltOpts.maxReadSize),
+      tinyStripeThreshold = longOpt("tinyStripeThreshold", dfltOpts.tinyStripeThreshold),
+      maxBlockBytes = longOpt("maxBlockBytes", dfltOpts.maxBlockBytes))
     new MothScanBuilder(path, tableSchema,
-      Option(options.get("maxPartitionBytes")).map(_.toLong).getOrElse(128L << 20),
-      Option(options.get("maxFilesPerTrigger")).map(_.toInt))
+      longOpt("maxPartitionBytes", 128L << 20),
+      Option(options.get("maxFilesPerTrigger")).map(_.toInt),
+      readerOpts)
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new MothWriteBuilder(path, info.schema(), info.queryId(),
@@ -215,7 +227,8 @@ class MothDataWriter(path: String, schema: StructType, queryId: String,
 }
 
 class MothScanBuilder(path: String, fullSchema: StructType,
-    maxPartitionBytes: Long = 128L << 20, maxFilesPerTrigger: Option[Int] = None)
+    maxPartitionBytes: Long = 128L << 20, maxFilesPerTrigger: Option[Int] = None,
+    readerOpts: graft.core.file.ReaderOpts = graft.core.file.ReaderOpts())
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
 
@@ -391,7 +404,7 @@ class MothScanBuilder(path: String, fullSchema: StructType,
     case None =>
       new MothScan(path, required,
         StatsPredicate(pushed.flatMap(f => MothFilters.toPreds(fullSchema, f)).toSeq),
-        maxPartitionBytes, maxFilesPerTrigger)
+        maxPartitionBytes, maxFilesPerTrigger, readerOpts)
   }
 }
 
@@ -525,7 +538,8 @@ object MothFilters {
 }
 
 class MothScan(path: String, required: StructType, predicate: StatsPredicate,
-    maxPartitionBytes: Long = 128L << 20, maxFilesPerTrigger: Option[Int] = None)
+    maxPartitionBytes: Long = 128L << 20, maxFilesPerTrigger: Option[Int] = None,
+    readerOpts: graft.core.file.ReaderOpts = graft.core.file.ReaderOpts())
     extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
@@ -574,7 +588,7 @@ class MothScan(path: String, required: StructType, predicate: StatsPredicate,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    MothReaderFactory(required, predicate)
+    MothReaderFactory(required, predicate, readerOpts)
 
   override def supportedCustomMetrics()
       : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
@@ -605,11 +619,12 @@ class MothScan(path: String, required: StructType, predicate: StatsPredicate,
 case class MothInputPartition(file: String, start: Long, end: Long)
     extends InputPartition
 
-case class MothReaderFactory(required: StructType, predicate: StatsPredicate)
+case class MothReaderFactory(required: StructType, predicate: StatsPredicate,
+    readerOpts: graft.core.file.ReaderOpts = graft.core.file.ReaderOpts())
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[MothInputPartition]
-    new MothPartitionReader(p, required, predicate)
+    new MothPartitionReader(p, required, predicate, readerOpts)
   }
 
   // vectorized scan: hand Spark whole ColumnarBatch views over decoded
@@ -620,15 +635,16 @@ case class MothReaderFactory(required: StructType, predicate: StatsPredicate)
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val p = partition.asInstanceOf[MothInputPartition]
-    new MothColumnarPartitionReader(p, required, predicate)
+    new MothColumnarPartitionReader(p, required, predicate, readerOpts)
   }
 }
 
 class MothColumnarPartitionReader(part: MothInputPartition, required: StructType,
-    predicate: StatsPredicate)
+    predicate: StatsPredicate,
+    readerOpts: graft.core.file.ReaderOpts = graft.core.file.ReaderOpts())
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
   import org.apache.spark.sql.vectorized.{ColumnarBatch, ColumnVector}
-  private val reader = MothFileReader.fromPathCached(part.file)
+  private val reader = MothFileReader.fromPathCached(part.file, readerOpts)
   private val vecs = reader.batchesProjected(
     if (required.isEmpty)
       graft.core.columns.MothType.TStruct(Seq(reader.schema.fields.head))
@@ -656,8 +672,10 @@ class MothColumnarPartitionReader(part: MothInputPartition, required: StructType
 }
 
 class MothPartitionReader(part: MothInputPartition, required: StructType,
-    predicate: StatsPredicate) extends PartitionReader[InternalRow] {
-  private val reader = MothFileReader.fromPathCached(part.file)
+    predicate: StatsPredicate,
+    readerOpts: graft.core.file.ReaderOpts = graft.core.file.ReaderOpts())
+    extends PartitionReader[InternalRow] {
+  private val reader = MothFileReader.fromPathCached(part.file, readerOpts)
   private val rows: Iterator[InternalRow] = reader
     .batchesProjected(
       // NESTED projection: Spark's nested schema pruning hands a pruned

@@ -252,6 +252,27 @@ class SparkSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(sess == Seq(("cA", 2L), ("cB", 1L)), s"closed conversations, got $sess")
   }
 
+  test("DSv2 reader IO options: forced ranged-read path decodes identically") {
+    val d = tmpDir() + "/ioopts"
+    val df = TranscriptGen.transcripts(spark, 8000, seed = 21)
+    df.write.format("moth").mode("overwrite").save(d)
+    val dflt = spark.read.format("moth").load(d)
+      .orderBy("conv_id", "turn_idx").collect().toSeq
+    // tinyStripeThreshold=0 forbids whole-stripe reads, mergeDistance=0
+    // forbids gap coalescing, a small read cap forces many ranged reads —
+    // the exact fetch plan an object-store deployment would tune toward
+    val ranged = spark.read.format("moth")
+      .option("tinyStripeThreshold", "0")
+      .option("mergeDistance", "0")
+      .option("maxReadSize", (256 * 1024).toString)
+      .option("maxBlockBytes", (1 << 20).toString)
+      .load(d)
+    assert(ranged.orderBy("conv_id", "turn_idx").collect().toSeq == dflt)
+    // with a predicate (index streams fetched over the ranged path too)
+    assert(ranged.filter(col("turn_idx") >= 10).count() ==
+      df.filter(col("turn_idx") >= 10).count())
+  }
+
   test("custom metrics: encoder retained-peak + bytes written/read surface in plan metrics") {
     import org.apache.spark.sql.execution.QueryExecution
     import org.apache.spark.sql.util.QueryExecutionListener
