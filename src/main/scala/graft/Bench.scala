@@ -159,14 +159,18 @@ object Bench {
     val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
     proc.waitFor()
     sampler.interrupt()
+    sampler.join(2000) // sums/counters are read below — no torn updates
     if (sys.env.contains("SPARK_GRAFT_STAGE_DEBUG"))
       out.linesIterator.filter(_.startsWith("STAGE[")).foreach(l => println("  " + l))
     val m = java.util.regex.Pattern
       .compile("BENCHCHILD (\\S+) (\\d+) (\\d+) (\\d+) (\\d+)").matcher(out)
     require(m.find(), s"child failed:\n${out.takeRight(3000)}")
     val childCalib = m.group(5).toLong
-    val meanMem = if (nSamples == 0) childCalib else sumCalib / nSamples
-    val meanAlu = if (nSamples == 0) 0L else sumAlu / nSamples
+    // a trial with NO concurrent samples (child died / diagnostic tiny run)
+    // is unclassifiable: mark it maximally loud so it can never enter the
+    // quiet history
+    val meanMem = if (nSamples == 0) Long.MaxValue else sumCalib / nSamples
+    val meanAlu = if (nSamples == 0) Long.MaxValue else sumAlu / nSamples
     Trial(m.group(1).toDouble, m.group(2).toLong, m.group(3).toLong,
       m.group(4).toLong, math.max(childCalib, worstCalib), worstAlu,
       meanMem, meanAlu)
@@ -286,15 +290,17 @@ object Bench {
     val minAlu = sys.env.getOrElse("SPARK_GRAFT_FLOOR_ALU", "265").toLong
     var obsMem = Long.MaxValue
     var obsAlu = Long.MaxValue
-    // ABSOLUTE quiet gate: a trial is quiet iff its concurrent probe
-    // readings sit within 25% of the persisted quiet-host floors (seeded
-    // from measured values for this host class; a session opened inside a
-    // storm must NOT mistake "stable storm" for quiet, which is exactly
-    // what session-relative gating did in round 2 — it reported a storm
-    // number as the number of record). Probe minima observed this session
-    // can only TIGHTEN the floors (a faster host gates tighter, never
-    // looser). A level with ZERO quiet trials is NO-EVIDENCE, not "use the
-    // minimum anyway".
+    // ABSOLUTE quiet gate: a trial is quiet iff the MEAN of its concurrent
+    // probe samples sits within 20% of the persisted quiet-host floors
+    // (seeded from measured values for this host class; a session opened
+    // inside a storm must NOT mistake "stable storm" for quiet, which is
+    // exactly what session-relative gating did in round 2 — it reported a
+    // storm number as the number of record). The floors are FIXED for the
+    // session: single fast probe readings must not tighten the gate
+    // retroactively (jitter disqualified best trials), so observed minima
+    // are emitted as diagnostics only — on different hardware re-seed via
+    // SPARK_GRAFT_FLOOR_MEM/ALU. A level with ZERO quiet trials is
+    // NO-EVIDENCE, not "use the minimum anyway".
     def quiet(ts: List[Trial]): List[Trial] =
       ts.filter(t => t.meanMs <= minMem * 1.2 && t.meanAluMs <= minAlu * 1.2)
     // Between pairs, poll the same membw probe in-process and hold off
@@ -436,10 +442,14 @@ object Bench {
           s"(${quiet(rn).size}/${quiet(r4).size} quiet N/4N) from $paths")
         (rn, r4)
     }
+    // .distinct: re-ingesting a log whose trials a prior run already
+    // persisted must not double-count one physical measurement into the
+    // "minimum reproduced" convergence test (two genuine trials landing on
+    // the same centisecond are collapsed too — conservative direction)
     val mergedN = (priorState.map(_.histN).getOrElse(Nil) ++
-      quiet(trialsN ++ ingestN).map(_.secs)).sorted.take(8)
+      quiet(trialsN ++ ingestN).map(_.secs)).distinct.sorted.take(8)
     val merged4N = (priorState.map(_.hist4N).getOrElse(Nil) ++
-      quiet(trials4N ++ ingest4N).map(_.secs)).sorted.take(8)
+      quiet(trials4N ++ ingest4N).map(_.secs)).distinct.sorted.take(8)
     def histConverged(h: List[Double]): Boolean =
       h.nonEmpty && h.count(_ <= h.min * 1.03) >= 2
     val convNow = histConverged(mergedN) && histConverged(merged4N)

@@ -15,6 +15,28 @@ import graft.core.compress.CompressionKind
 import graft.core.file.{AndPred, IsNotNullPred, IsNullPred, LongEqPred, LongRangePred, MothFileReader, MothFileWriter, OrPred, StatsPredicate, StringEqPred, StringRangePred}
 import graft.spark.{InternalBridge, SparkBridge}
 
+/** Merges the Spark session/executor `spark.hadoop.*` settings into the
+  * engine's process-wide Hadoop configuration ONCE per JVM — so s3a
+  * credentials etc. configured the standard Spark way reach every moth
+  * FileSystem. Must run before the first FileSystem is cached; every
+  * moth entry point (schema inference, reader/writer factories, streaming)
+  * calls ensure() first.
+  */
+object HadoopConfSync {
+  @volatile private var applied = false
+  def ensure(): Unit = if (!applied) synchronized {
+    if (!applied) {
+      Option(org.apache.spark.SparkEnv.get).foreach { env =>
+        val c = graft.core.file.Sources.conf
+        env.conf.getAll.foreach { case (k, v) =>
+          if (k.startsWith("spark.hadoop.")) c.set(k.stripPrefix("spark.hadoop."), v)
+        }
+      }
+      applied = true
+    }
+  }
+}
+
 /** DataSourceV2 "moth" format: `spark.read.format("moth").load(dir)`.
   *
   * Spark-native read integration for the engine's file format —
@@ -42,8 +64,10 @@ class MothDataSourceV2 extends TableProvider with DataSourceRegister {
     p
   }
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    HadoopConfSync.ensure()
     MothTable.schemaOf(MothTable.listFiles(pathOf(options)))
+  }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table =
@@ -57,6 +81,7 @@ object MothTable {
     * file:, scheme-less local) — the storage-agnostic face of the table.
     */
   def listFiles(path: String): Seq[String] = {
+    HadoopConfSync.ensure()
     val files = graft.core.file.Sources.listMoth(path)
     require(files.nonEmpty, s"no .moth files at $path")
     files
@@ -140,7 +165,11 @@ class MothWrite(path: String, schema: StructType, queryId: String,
     if (!truncate) {
       // append into a non-empty dir only with an identical schema: the scan
       // infers the table schema from one footer
-      val existing = scala.util.Try(MothTable.listFiles(path)).getOrElse(Nil)
+      // ONLY the no-files case means "empty table"; a real listing failure
+      // (auth, throttling) must propagate, not skip the schema guard
+      val existing =
+        try MothTable.listFiles(path)
+        catch { case _: IllegalArgumentException => Nil }
       if (existing.nonEmpty) {
         // nullability is not encoded in MOTH (PRESENT is per-stripe), so
         // compare modulo nullable flags
@@ -158,7 +187,10 @@ class MothWrite(path: String, schema: StructType, queryId: String,
     if (truncate) {
       val keep = messages.collect { case MothCommit(f) => f }.toSet
       val fs = Sources.fileSystemOf(path)
-      scala.util.Try(MothTable.listFiles(path)).getOrElse(Nil).foreach { f =>
+      val files =
+        try MothTable.listFiles(path)
+        catch { case _: IllegalArgumentException => Nil }
+      files.foreach { f =>
         val p = new Path(f)
         if (!keep.contains(p.getName)) fs.delete(p, false)
       }
@@ -178,8 +210,10 @@ case class MothCommit(fileName: String) extends WriterCommitMessage
 
 case class MothDataWriterFactory(path: String, schema: StructType, queryId: String,
     codec: CompressionKind.Value) extends DataWriterFactory {
-  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
+    HadoopConfSync.ensure()
     new MothDataWriter(path, schema, queryId, codec, partitionId, taskId)
+  }
 }
 
 class MothDataWriter(path: String, schema: StructType, queryId: String,
@@ -597,7 +631,7 @@ class MothScan(path: String, required: StructType, predicate: StatsPredicate,
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new MothMicroBatchStream(path, required, predicate, maxFilesPerTrigger,
-      checkpointLocation)
+      checkpointLocation, readerOpts = readerOpts)
 
   /** Footer-derived stats — lets Catalyst see table size without a scan
     * (broadcast-join thresholds at 100TB depend on this).
@@ -623,6 +657,7 @@ case class MothReaderFactory(required: StructType, predicate: StatsPredicate,
     readerOpts: graft.core.file.ReaderOpts = graft.core.file.ReaderOpts())
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    HadoopConfSync.ensure()
     val p = partition.asInstanceOf[MothInputPartition]
     new MothPartitionReader(p, required, predicate, readerOpts)
   }
@@ -634,6 +669,7 @@ case class MothReaderFactory(required: StructType, predicate: StatsPredicate,
 
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    HadoopConfSync.ensure()
     val p = partition.asInstanceOf[MothInputPartition]
     new MothColumnarPartitionReader(p, required, predicate, readerOpts)
   }

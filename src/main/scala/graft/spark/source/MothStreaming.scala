@@ -38,9 +38,11 @@ import graft.core.file.{Sources, StatsPredicate}
 class MothMicroBatchStream(path: String, required: StructType,
     predicate: StatsPredicate, maxFilesPerTrigger: Option[Int] = None,
     checkpointLocation: String = null,
-    compactInterval: Int = MothStreamLog.DefaultCompactInterval)
+    compactInterval: Int = MothStreamLog.DefaultCompactInterval,
+    readerOpts: graft.core.file.ReaderOpts = graft.core.file.ReaderOpts())
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
+  HadoopConfSync.ensure()
 
   private val log = new MothStreamLog(
     new Path(if (checkpointLocation != null) checkpointLocation else path,
@@ -106,7 +108,17 @@ class MothMicroBatchStream(path: String, required: StructType,
     }
   }
 
-  override def reportLatestOffset(): Offset = MothLogOffset(log.lastIndex())
+  /** Progress/lag reporting: the last log index plus the number of
+    * micro-batches the current backlog would still need — so
+    * StreamingQueryProgress shows a growing backlog instead of echoing the
+    * processed offset.
+    */
+  override def reportLatestOffset(): Offset = {
+    val last = log.lastIndex()
+    val pending = currentFiles().count(!log.seenAt(last).contains(_))
+    val batchSize = maxFilesPerTrigger.getOrElse(Int.MaxValue)
+    MothLogOffset(last + (pending + batchSize - 1L) / batchSize)
+  }
 
   override def deserializeOffset(json: String): Offset =
     if (json.trim.startsWith("[")) MothStreamOffset(MothStreamOffset.parse(json))
@@ -127,7 +139,7 @@ class MothMicroBatchStream(path: String, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    MothReaderFactory(required, predicate)
+    MothReaderFactory(required, predicate, readerOpts)
 }
 
 /** Compact offset: a monotone index into the file log — `{"i":N}`. */
@@ -187,16 +199,10 @@ class MothStreamLog(dir: Path, compactInterval: Int) {
   }
 
   private def readNames(p: Path): Seq[String] = {
-    val in = fs.open(p)
-    try {
-      val bytes = new java.io.ByteArrayOutputStream()
-      val buf = new Array[Byte](8192)
-      var n = in.read(buf)
-      while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
-      val lines = new String(bytes.toByteArray, "UTF-8").split("\n", -1).toSeq
-      require(lines.headOption.exists(_.startsWith("v1")), s"bad log entry $p")
-      lines.drop(1).filter(_.nonEmpty)
-    } finally in.close()
+    val lines = new String(Sources.readAllBytes(fs.makeQualified(p).toString), "UTF-8")
+      .split("\n", -1).toSeq
+    require(lines.headOption.exists(_.startsWith("v1")), s"bad log entry $p")
+    lines.drop(1).filter(_.nonEmpty)
   }
 
   private def writeNames(p: Path, names: Iterable[String]): Unit = {
