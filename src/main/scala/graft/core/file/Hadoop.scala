@@ -65,7 +65,18 @@ object Sources {
     if (isLocalPath(path)) new java.io.FileOutputStream(localPathOf(new Path(path)))
     else fileSystemOf(path).create(new Path(path), true)
 
-  /** Atomic publish: rename src over dst (replacing it), any scheme. */
+  /** Publish src as dst, replacing any existing dst.
+    *
+    * Local paths use an ATOMIC filesystem move. Non-local schemes are
+    * delete-then-rename, which is NOT atomic: a crash between the two
+    * operations leaves neither src nor dst published. That window is
+    * tolerated by design — manifest/offset readers treat an absent file as
+    * "not yet written" and the writing task's retry re-creates it — but
+    * callers must not assume dst is continuously present on hdfs/s3a.
+    * (FileContext.rename(OVERWRITE) would close the window on HDFS; it is
+    * avoided here because object stores don't implement it atomically
+    * either, and the absence-tolerant protocol covers both.)
+    */
   def atomicRename(src: String, dst: String): Unit = {
     if (isLocalPath(src)) {
       java.nio.file.Files.move(

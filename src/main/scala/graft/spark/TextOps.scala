@@ -158,7 +158,14 @@ object TextOps {
         expr(s"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), m -> m)) / cast($MinHashK AS double)"))
       .filter(col("est_jaccard") >= threshold)
       .select("doc_a", "doc_b")
-    verified
+    // Materialize the (small) verified pair set, then drop the signature
+    // cache: a Dataset-level cache is held by the session's CacheManager
+    // forever, so returning a lazy plan over it would leak the cached
+    // blocks for the session's lifetime in a long-lived pipeline service.
+    // localCheckpoint blocks are reclaimed by the ContextCleaner on GC.
+    val out = verified.localCheckpoint(true)
+    sigs.unpersist(false)
+    out
   }
 
   /** SimHash near-dup pairs within a hamming radius, via 4×16-bit band keys
@@ -186,12 +193,16 @@ object TextOps {
     val keep = bands.join(okBuckets, Seq("band", "key"))
     val a = keep.select(col("band"), col("key"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val b = keep.select(col("band"), col("key"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("band", "key"))
+    val pairs = a.join(b, Seq("band", "key"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         expr("bit_count(sh_a ^ sh_b)").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+    // same cache-lifetime discipline as minHashPairs
+    val out = pairs.localCheckpoint(true)
+    hashes.unpersist(false)
+    out
   }
 
   /** Distinct sorted shingle-hash set of a text (for EXACT n-gram Jaccard). */

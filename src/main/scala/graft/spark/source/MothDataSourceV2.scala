@@ -16,23 +16,25 @@ import graft.core.file.{AndPred, IsNotNullPred, IsNullPred, LongEqPred, LongRang
 import graft.spark.{InternalBridge, SparkBridge}
 
 /** Merges the Spark session/executor `spark.hadoop.*` settings into the
-  * engine's process-wide Hadoop configuration ONCE per JVM — so s3a
-  * credentials etc. configured the standard Spark way reach every moth
-  * FileSystem. Must run before the first FileSystem is cached; every
+  * engine's process-wide Hadoop configuration — so s3a credentials etc.
+  * configured the standard Spark way reach every moth FileSystem. Every
   * moth entry point (schema inference, reader/writer factories, streaming)
-  * calls ensure() first.
+  * calls ensure() first. Keyed to the live SparkConf identity, NOT a
+  * one-shot JVM latch: a call before SparkEnv exists applies nothing (and
+  * latches nothing), and a new SparkContext's settings re-merge.
   */
 object HadoopConfSync {
-  @volatile private var applied = false
-  def ensure(): Unit = if (!applied) synchronized {
-    if (!applied) {
-      Option(org.apache.spark.SparkEnv.get).foreach { env =>
+  @volatile private var appliedFor: AnyRef = null
+  def ensure(): Unit = {
+    val env = org.apache.spark.SparkEnv.get
+    if (env != null && (appliedFor ne env.conf)) synchronized {
+      if (appliedFor ne env.conf) {
         val c = graft.core.file.Sources.conf
         env.conf.getAll.foreach { case (k, v) =>
           if (k.startsWith("spark.hadoop.")) c.set(k.stripPrefix("spark.hadoop."), v)
         }
+        appliedFor = env.conf
       }
-      applied = true
     }
   }
 }
@@ -85,6 +87,16 @@ object MothTable {
     val files = graft.core.file.Sources.listMoth(path)
     require(files.nonEmpty, s"no .moth files at $path")
     files
+  }
+
+  /** Nil ONLY for a genuinely empty or absent table directory; every other
+    * failure (malformed URI, auth, throttling) propagates — callers that
+    * treat "empty" as a soft case must not silently swallow real errors.
+    */
+  def listMothOrEmpty(path: String): Seq[String] = {
+    HadoopConfSync.ensure()
+    try graft.core.file.Sources.listMoth(path)
+    catch { case _: java.io.FileNotFoundException => Nil }
   }
 
   def schemaOf(files: Seq[String]): StructType = {
@@ -165,11 +177,7 @@ class MothWrite(path: String, schema: StructType, queryId: String,
     if (!truncate) {
       // append into a non-empty dir only with an identical schema: the scan
       // infers the table schema from one footer
-      // ONLY the no-files case means "empty table"; a real listing failure
-      // (auth, throttling) must propagate, not skip the schema guard
-      val existing =
-        try MothTable.listFiles(path)
-        catch { case _: IllegalArgumentException => Nil }
+      val existing = MothTable.listMothOrEmpty(path)
       if (existing.nonEmpty) {
         // nullability is not encoded in MOTH (PRESENT is per-stripe), so
         // compare modulo nullable flags
@@ -187,10 +195,7 @@ class MothWrite(path: String, schema: StructType, queryId: String,
     if (truncate) {
       val keep = messages.collect { case MothCommit(f) => f }.toSet
       val fs = Sources.fileSystemOf(path)
-      val files =
-        try MothTable.listFiles(path)
-        catch { case _: IllegalArgumentException => Nil }
-      files.foreach { f =>
+      MothTable.listMothOrEmpty(path).foreach { f =>
         val p = new Path(f)
         if (!keep.contains(p.getName)) fs.delete(p, false)
       }
@@ -240,6 +245,9 @@ class MothDataWriter(path: String, schema: StructType, queryId: String,
     writer.close()
     fos.close()
     val dst = new Path(path, fileName)
+    // delete-then-rename is non-atomic on non-local schemes (see
+    // Sources.atomicRename): a crash here leaves no dst, and Spark's commit
+    // coordinator re-runs the task — absence is always transient
     fs.delete(dst, false) // a lost earlier attempt's rename; this attempt won
     if (!fs.rename(tmp, dst)) throw new java.io.IOException(s"rename $tmp -> $dst failed")
     MothCommit(fileName)
@@ -485,6 +493,9 @@ object MothAggReaderFactory extends PartitionReaderFactory {
 object MothFilters {
   import graft.core.file.ColPredicate
 
+  /** Largest `isin` value list converted to an Or-of-Eq pruning predicate. */
+  val MaxInListPushdown = 256
+
   private def isIntFamily(schema: StructType, col: String): Boolean =
     schema.find(_.name == col).exists(f => f.dataType match {
       case ByteType | ShortType | IntegerType | LongType => true
@@ -550,7 +561,11 @@ object MothFilters {
       Seq(StringRangePred(c, None, Some((v, true))))
     // IN → bloom-tested Eq disjunction (the most common pruning-relevant
     // filter in pipeline code); nulls in the value list never match a row,
-    // so dropping them keeps the disjunction conservative
+    // so dropping them keeps the disjunction conservative. CAPPED: each
+    // branch is evaluated per file/stripe/row-group during planning, so an
+    // unbounded isin (100k ids from a collected dim table) would turn
+    // planning quadratic — beyond the cap the filter simply doesn't prune.
+    case In(c, vs) if vs.length > MaxInListPushdown => Nil
     case In(c, vs) =>
       val branches = vs.filter(_ != null).map(v => toPreds(schema, EqualTo(c, v)))
       if (branches.isEmpty || branches.exists(_.isEmpty)) Nil

@@ -824,6 +824,45 @@ class SparkSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(mothBytes < pqBytes * 1.15,
       s"MOTH ($mothBytes) should be within 15% of parquet-zstd ($pqBytes)")
   }
+
+  test("isin pushdown is capped: a 10k-element list converts to no predicate, results stay exact") {
+    import org.apache.spark.sql.sources.In
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    import graft.spark.source.MothFilters
+    val schema = StructType(Seq(StructField("k", LongType)))
+    // over the cap: planning-time pruning opts out (no 10k-branch OrPred
+    // evaluated per file/stripe/row-group)
+    val big = In("k", (0L until 10000L).map(_.asInstanceOf[Any]).toArray)
+    assert(MothFilters.toPreds(schema, big).isEmpty, "oversized isin must not convert")
+    // at the cap: still converts
+    val ok = In("k", (0L until MothFilters.MaxInListPushdown.toLong)
+      .map(_.asInstanceOf[Any]).toArray)
+    assert(MothFilters.toPreds(schema, ok).nonEmpty)
+    // end-to-end: an oversized isin still answers correctly (residual filter)
+    val s = spark
+    import s.implicits._
+    val d = tmpDir() + "/incap"
+    (0L until 5000L).toDF("k").write.format("moth").mode("append").save(d)
+    val hits = spark.read.format("moth").load(d)
+      .filter(col("k").isin((0L until 10000L).map(_.asInstanceOf[Any]): _*))
+      .count()
+    assert(hits == 5000L)
+  }
+
+  test("dedup helpers leave no Dataset cache behind (CacheManager empty after use)") {
+    val s = spark
+    import s.implicits._
+    spark.catalog.clearCache()
+    val docs = (0L until 500L)
+      .map(i => (i, s"document body number ${i % 40} with shared text " * 6))
+      .toDF("doc_id", "text")
+    TextOps.minHashPairs(spark, docs).count()
+    TextOps.simHashPairs(spark, docs).count()
+    // the signature caches were unpersisted after materialization; a leaked
+    // Dataset cache would pin its blocks in the session CacheManager forever
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "TextOps must not leave Dataset caches registered")
+  }
 }
 
 /** Test-only Hadoop FileSystem under the `testfs:` scheme, mapping onto the
