@@ -201,6 +201,31 @@ object SparkEntry {
         .orderBy("l_returnflag", "l_linestatus")
     }),
 
+    // — DATE-stat pruning through DSv2: orders recast to a real DATE column,
+    //   written range-partitioned+sorted on it (tight per-group day ranges),
+    //   filtered on a date bound — planning-time file pruning + row-group
+    //   pruning against DateStats, residual re-applied by Spark —
+    "prune_orders_date" -> ((s, d) => {
+      val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft-dsv2dt-${Integer.toHexString(d.hashCode)}/orders").getAbsolutePath
+      val src = read(s, d, "orders")
+        .withColumn("o_odate", col("o_orderdate").cast("date"))
+        .drop("o_orderdate")
+      MothSpark.writeFiles(
+        src.repartitionByRange(4, col("o_odate")).sortWithinPartitions("o_odate"),
+        out, s"dsv2dt:$d:orders", CompressionKind.ZLIB,
+        WriterOpts(rowGroupMaxRowCount = 1000), Seq("o_odate"))
+      s.read.format("moth").load(out)
+        .filter(col("o_odate") >= lit(java.sql.Date.valueOf("1997-06-01")))
+        .groupBy("o_orderstatus")
+        // date-typed outputs render as python `date` on the Spark side but
+        // datetime64 from DuckDB — string casts keep the hash compare exact
+        .agg(count(lit(1)).as("cnt"),
+          min("o_odate").cast("string").as("min_d"),
+          max("o_odate").cast("string").as("max_d"))
+        .orderBy("o_orderstatus")
+    }),
+
     // footer-only aggregate pushdown: count/min/max answered from file
     // statistics with zero data bytes scanned (MothAggScan)
     "dsv2_agg_orders" -> ((s, d) => {
@@ -386,6 +411,12 @@ object SparkEntry {
         |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "prune_orders_date" ->
+      """SELECT o_orderstatus, count(*) AS cnt,
+        |  cast(min(cast(o_orderdate AS date)) AS varchar) AS min_d,
+        |  cast(max(cast(o_orderdate AS date)) AS varchar) AS max_d
+        |FROM orders WHERE cast(o_orderdate AS date) >= DATE '1997-06-01'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "dsv2_agg_orders" ->
       """SELECT count(*) AS n, cast(min(o_orderkey) AS bigint) AS min_key,
         |  cast(max(o_orderkey) AS bigint) AS max_key,

@@ -102,6 +102,16 @@ final case class StringRangePred(columnName: String,
     lower: Option[(String, Boolean)], upper: Option[(String, Boolean)]) extends LeafPred
 final case class IsNullPred(columnName: String) extends LeafPred
 final case class IsNotNullPred(columnName: String) extends LeafPred
+/** Floating-point bounds, inclusive-flagged (no ±1 trick on doubles).
+  * Sound against NaN rows because DoubleStatsBuilder DROPS min/max for any
+  * group that saw a NaN (NaN sorts above everything in Spark, outside the
+  * min/max envelope) — a NaN-bearing group therefore never prunes.
+  */
+final case class DoubleRangePred(columnName: String,
+    lower: Option[(Double, Boolean)], upper: Option[(Double, Boolean)]) extends LeafPred
+/** Exact decimal bounds, inclusive-flagged. */
+final case class DecimalRangePred(columnName: String,
+    lower: Option[(BigDecimal, Boolean)], upper: Option[(BigDecimal, Boolean)]) extends LeafPred
 /** Disjunction/conjunction nodes: `x IN (...)` arrives as an OrPred of
   * bloom-tested Eq leaves, `OR` of arbitrary convertible branches prunes a
   * unit only when EVERY branch is impossible there.
@@ -133,11 +143,26 @@ final case class StatsPredicate(preds: Seq[ColPredicate]) {
                 } && st.tsStats.forall { case (minMs, maxMs) =>
                   // timestamp columns: range pred bounds are epoch MILLIS
                   lo.forall(_ <= maxMs) && hi.forall(_ >= minMs)
+                } && st.dateStats.forall { case (minD, maxD) =>
+                  // date columns: bounds are epoch DAYS
+                  lo.forall(_ <= maxD) && hi.forall(_ >= minD)
                 }
               }
             case LongEqPred(_, v) =>
-              s.forall(_.intStats.forall(is => v >= is.min && v <= is.max)) &&
+              s.forall(st =>
+                st.intStats.forall(is => v >= is.min && v <= is.max) &&
+                  st.dateStats.forall { case (minD, maxD) => v >= minD && v <= maxD }) &&
                 bloom(col).forall(_.testLong(v))
+            case DoubleRangePred(_, lower, upper) =>
+              s.forall(_.doubleStats.forall { ds =>
+                lower.forall { case (v, incl) => if (incl) ds.max >= v else ds.max > v } &&
+                  upper.forall { case (v, incl) => if (incl) ds.min <= v else ds.min < v }
+              })
+            case DecimalRangePred(_, lower, upper) =>
+              s.forall(_.decimalStats.forall { case (mn, mx) =>
+                lower.forall { case (v, incl) => if (incl) mx >= v else mx > v } &&
+                  upper.forall { case (v, incl) => if (incl) mn <= v else mn < v }
+              })
             case StringEqPred(_, v) =>
               val b = v.getBytes("UTF-8")
               s.forall(_.stringStats.forall { ss =>

@@ -119,16 +119,27 @@ final class DoubleStatsBuilder extends StatsBuilder {
   private var min = Double.PositiveInfinity
   private var max = Double.NegativeInfinity
   private var sum = 0.0
+  private var sawNaN = false
   def add(v: Double): Unit = {
     nonNullCount += 1
-    if (v < min) min = v
-    if (v > max) max = v
+    if (v.isNaN) sawNaN = true
+    else {
+      if (v < min) min = v
+      if (v > max) max = v
+    }
     sum += v
   }
+  /** A NaN-bearing group DROPS its stats entirely: NaN sorts above every
+    * value in Spark/engine comparison order, so a min/max envelope that
+    * excluded it would let range predicates prune groups containing
+    * matching NaN rows. (Same drop-don't-lie discipline as over-limit
+    * strings.)
+    */
   def build(): ColStats = ColStats(nonNullCount, sawNull,
-    doubleStats = if (nonNullCount > 0) Some(DoubleStats(min, max, sum)) else None)
+    doubleStats = if (nonNullCount > 0 && !sawNaN) Some(DoubleStats(min, max, sum)) else None)
   override def reset(): Unit = {
-    super.reset(); min = Double.PositiveInfinity; max = Double.NegativeInfinity; sum = 0.0
+    super.reset(); min = Double.PositiveInfinity; max = Double.NegativeInfinity
+    sum = 0.0; sawNaN = false
   }
 }
 

@@ -12,7 +12,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.sql.catalyst.InternalRow
 import graft.core.columns.WriterOpts
 import graft.core.compress.CompressionKind
-import graft.core.file.{AndPred, IsNotNullPred, IsNullPred, LongEqPred, LongRangePred, MothFileReader, MothFileWriter, OrPred, StatsPredicate, StringEqPred, StringRangePred}
+import graft.core.file.{AndPred, DecimalRangePred, DoubleRangePred, IsNotNullPred, IsNullPred, LongEqPred, LongRangePred, MothFileReader, MothFileWriter, OrPred, StatsPredicate, StringEqPred, StringRangePred}
 import graft.spark.{InternalBridge, SparkBridge}
 
 /** Merges the Spark session/executor `spark.hadoop.*` settings into the
@@ -509,8 +509,43 @@ object MothFilters {
     schema.find(_.name == col).exists(f =>
       f.dataType == TimestampType || f.dataType == TimestampNTZType)
 
+  private def isDate(schema: StructType, col: String): Boolean =
+    schema.find(_.name == col).exists(_.dataType == DateType)
+
+  private def isFloating(schema: StructType, col: String): Boolean =
+    schema.find(_.name == col).exists(f =>
+      f.dataType == org.apache.spark.sql.types.DoubleType ||
+        f.dataType == org.apache.spark.sql.types.FloatType)
+
+  private def isDecimal(schema: StructType, col: String): Boolean =
+    schema.find(_.name == col).exists(
+      _.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType])
+
   private def longOf(v: Any): Option[Long] = v match {
     case n: java.lang.Number => Some(n.longValue())
+    case _ => None
+  }
+
+  /** Date filter value → epoch days (exact — dates ARE integers, so the
+    * ±1-day trick gives exact exclusive bounds). Both the legacy
+    * java.sql.Date and the java8 LocalDate surface forms are accepted.
+    */
+  private def daysOf(v: Any): Option[Long] = v match {
+    case d: java.sql.Date => Some(d.toLocalDate.toEpochDay)
+    case d: java.time.LocalDate => Some(d.toEpochDay)
+    case _ => None
+  }
+
+  /** Float values upcast exactly; double compare against double stats. */
+  private def dblOf(v: Any): Option[Double] = v match {
+    case d: java.lang.Double => Some(d.doubleValue())
+    case f: java.lang.Float => Some(f.doubleValue())
+    case _ => None
+  }
+
+  private def decOf(v: Any): Option[BigDecimal] = v match {
+    case d: java.math.BigDecimal => Some(BigDecimal(d))
+    case d: BigDecimal => Some(d)
     case _ => None
   }
 
@@ -550,6 +585,41 @@ object MothFilters {
       millisOf(v).map(x => LongRangePred(c, None, Some(x + 1))).toSeq
     case EqualTo(c, v) if isTimestamp(schema, c) =>
       millisOf(v).map(x => LongRangePred(c, Some(x), Some(x + 1))).toSeq
+    // DATE predicates prune against exact per-group day min/max stats —
+    // the most common pruning filter in time-partitioned pipeline data
+    case EqualTo(c, v) if isDate(schema, c) =>
+      daysOf(v).map(LongEqPred(c, _)).toSeq
+    case GreaterThan(c, v) if isDate(schema, c) =>
+      daysOf(v).map(x => LongRangePred(c, Some(x + 1), None)).toSeq
+    case GreaterThanOrEqual(c, v) if isDate(schema, c) =>
+      daysOf(v).map(x => LongRangePred(c, Some(x), None)).toSeq
+    case LessThan(c, v) if isDate(schema, c) =>
+      daysOf(v).map(x => LongRangePred(c, None, Some(x - 1))).toSeq
+    case LessThanOrEqual(c, v) if isDate(schema, c) =>
+      daysOf(v).map(x => LongRangePred(c, None, Some(x))).toSeq
+    // DOUBLE/FLOAT ranges against double stats (inclusive-flagged bounds;
+    // NaN-bearing groups carry no stats, see DoubleStatsBuilder)
+    case EqualTo(c, v) if isFloating(schema, c) =>
+      dblOf(v).map(x => DoubleRangePred(c, Some((x, true)), Some((x, true)))).toSeq
+    case GreaterThan(c, v) if isFloating(schema, c) =>
+      dblOf(v).map(x => DoubleRangePred(c, Some((x, false)), None)).toSeq
+    case GreaterThanOrEqual(c, v) if isFloating(schema, c) =>
+      dblOf(v).map(x => DoubleRangePred(c, Some((x, true)), None)).toSeq
+    case LessThan(c, v) if isFloating(schema, c) =>
+      dblOf(v).map(x => DoubleRangePred(c, None, Some((x, false)))).toSeq
+    case LessThanOrEqual(c, v) if isFloating(schema, c) =>
+      dblOf(v).map(x => DoubleRangePred(c, None, Some((x, true)))).toSeq
+    // DECIMAL ranges against exact decimal stats
+    case EqualTo(c, v) if isDecimal(schema, c) =>
+      decOf(v).map(x => DecimalRangePred(c, Some((x, true)), Some((x, true)))).toSeq
+    case GreaterThan(c, v) if isDecimal(schema, c) =>
+      decOf(v).map(x => DecimalRangePred(c, Some((x, false)), None)).toSeq
+    case GreaterThanOrEqual(c, v) if isDecimal(schema, c) =>
+      decOf(v).map(x => DecimalRangePred(c, Some((x, true)), None)).toSeq
+    case LessThan(c, v) if isDecimal(schema, c) =>
+      decOf(v).map(x => DecimalRangePred(c, None, Some((x, false)))).toSeq
+    case LessThanOrEqual(c, v) if isDecimal(schema, c) =>
+      decOf(v).map(x => DecimalRangePred(c, None, Some((x, true)))).toSeq
     // string ranges: stats min/max are exact when present, so bounds prune
     case GreaterThan(c, v: String) if isString(schema, c) =>
       Seq(StringRangePred(c, Some((v, false)), None))

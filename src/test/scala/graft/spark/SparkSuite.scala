@@ -661,6 +661,61 @@ class SparkSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(moth.filter(col("tag") >= "t8").count() === df.filter(col("tag") >= "t8").count())
   }
 
+  test("DSv2 date/double/decimal pushdown: file + group pruning, correct results") {
+    import org.apache.spark.sql.sources.{EqualTo, GreaterThanOrEqual, LessThan}
+    import graft.spark.source.{MothFilters, MothScan, MothScanBuilder}
+    val s = spark
+    import s.implicits._
+    val d = tmpDir() + "/dtprune"
+    // monotone k drives a date (1 day per 10 rows), a double and a decimal —
+    // tight per-row-group ranges for all three stat families
+    val df = (0L until 20000L).toDF("k")
+      .withColumn("dt", expr("date_add(date '2020-01-01', cast(k / 10 AS int))"))
+      .withColumn("x", col("k").cast("double") / 4.0)
+      .withColumn("dec", expr("cast(k / 100.0 AS decimal(12,2))"))
+    MothSpark.writeFiles(df.repartitionByRange(2, col("k")).sortWithinPartitions("k"),
+      d, "dtprune", CompressionKind.ZLIB, WriterOpts(rowGroupMaxRowCount = 1000))
+    val schema = spark.read.format("moth").load(d).schema
+
+    def planned(filters: Array[org.apache.spark.sql.sources.Filter]): Int = {
+      val b = new MothScanBuilder(d, schema)
+      b.pushFilters(filters)
+      b.build().asInstanceOf[MothScan].planInputPartitions().length
+    }
+    assert(planned(Array.empty) >= 2)
+    // bounds below/above every file's stats prune ALL partitions at planning
+    assert(planned(Array(LessThan("dt", java.sql.Date.valueOf("2019-12-31")))) == 0,
+      "date below global min must prune every file")
+    assert(planned(Array(LessThan("x", -1.0))) == 0,
+      "double below global min must prune every file")
+    assert(planned(Array(GreaterThanOrEqual("dec",
+      new java.math.BigDecimal("99999")))) == 0,
+      "decimal above global max must prune every file")
+    // group-level: a single-day Eq decodes at most a group per file
+    val preds = MothFilters.toPreds(schema,
+      EqualTo("dt", java.sql.Date.valueOf("2021-03-01")))
+    assert(preds.nonEmpty, "DATE Eq must convert to a pruning predicate")
+    val files = new java.io.File(d).listFiles((_, n) => n.endsWith(".moth")).sorted
+    val decoded = files.map { f =>
+      val rd = graft.core.file.MothFileReader.fromPath(f.getAbsolutePath)
+      try rd.batches(predicate = graft.core.file.StatsPredicate(preds))
+        .map(_.len.toLong).sum
+      finally rd.close()
+    }.sum
+    assert(decoded <= 2 * 1000,
+      s"one-day Eq should decode <=1 group per file, decoded $decoded rows")
+    // end-to-end: results equal the source under each pushed family
+    val moth = spark.read.format("moth").load(d)
+    val cut = java.sql.Date.valueOf("2024-01-01")
+    assert(moth.filter(col("dt") >= lit(cut)).count() ==
+      df.filter(col("dt") >= lit(cut)).count())
+    assert(moth.filter(col("dt") === lit(java.sql.Date.valueOf("2021-03-01"))).count() ==
+      df.filter(col("dt") === lit(java.sql.Date.valueOf("2021-03-01"))).count())
+    assert(moth.filter(col("x") > 4900.0).count() == df.filter(col("x") > 4900.0).count())
+    assert(moth.filter(col("dec") <= lit(new java.math.BigDecimal("1.50"))).count() ==
+      df.filter(col("dec") <= lit(new java.math.BigDecimal("1.50"))).count())
+  }
+
   test("columnar scan: vectorized batches equal row decode, incl. nested types") {
     val s = spark
     import s.implicits._
