@@ -496,6 +496,18 @@ object MothFilters {
   /** Largest `isin` value list converted to an Or-of-Eq pruning predicate. */
   val MaxInListPushdown = 256
 
+  /** Types whose predicates can prune against file/stripe/group stats —
+    * the columns worth advertising for runtime (DPP) filtering.
+    */
+  def statsEligible(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | StringType |
+         DateType | TimestampType | TimestampNTZType |
+         org.apache.spark.sql.types.DoubleType |
+         org.apache.spark.sql.types.FloatType => true
+    case _: org.apache.spark.sql.types.DecimalType => true
+    case _ => false
+  }
+
   private def isIntFamily(schema: StructType, col: String): Boolean =
     schema.find(_.name == col).exists(f => f.dataType match {
       case ByteType | ShortType | IntegerType | LongType => true
@@ -659,13 +671,38 @@ object MothFilters {
 class MothScan(path: String, required: StructType, predicate: StatsPredicate,
     maxPartitionBytes: Long = 128L << 20, maxFilesPerTrigger: Option[Int] = None,
     readerOpts: graft.core.file.ReaderOpts = graft.core.file.ReaderOpts())
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeFiltering {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"MothScan(path=$path, cols=${required.fieldNames.mkString(",")}, " +
       s"preds=${predicate.preds.size})"
+
+  /** Runtime (DPP-style) filtering: at 100 TB the dominant pruning signal
+    * is often the JOIN KEY SET from a broadcast dimension table, not a
+    * static predicate. Spark hands the collected key set here as an `In`
+    * filter after the broadcast materializes; it folds into the same
+    * stats/bloom predicate tree used for planning-time file pruning, so
+    * moth files whose footers refute the key set never become tasks, and
+    * surviving tasks still prune stripes/row-groups with it. The `In` cap
+    * (MothFilters.MaxInListPushdown) bounds planning cost for huge key sets.
+    */
+  @volatile private var runtimePreds: Seq[graft.core.file.ColPredicate] = Nil
+  private def effectivePredicate: StatsPredicate =
+    if (runtimePreds.isEmpty) predicate
+    else StatsPredicate(predicate.preds ++ runtimePreds)
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    required.fields.collect {
+      case f if MothFilters.statsEligible(f.dataType) =>
+        org.apache.spark.sql.connector.expressions.Expressions.column(f.name)
+    }
+
+  override def filter(filters: Array[Filter]): Unit =
+    runtimePreds = filters.toSeq.flatMap(f => MothFilters.toPreds(required, f))
 
   /** One partition per ~128MB of stripes: large files split by stripe
     * ranges (a stripe belongs to the split owning its first byte —
@@ -674,6 +711,7 @@ class MothScan(path: String, required: StructType, predicate: StatsPredicate,
     */
   override def planInputPartitions(): Array[InputPartition] = {
     val targetBytes = maxPartitionBytes
+    val pred = effectivePredicate
     MothTable.parFiles(path).flatMap { f =>
       val rd = MothFileReader.fromPathCached(f)
       try {
@@ -681,7 +719,7 @@ class MothScan(path: String, required: StructType, predicate: StatsPredicate,
         // file-level pruning at PLANNING time: a file whose footer stats
         // refute the predicate never becomes a task (at 100k files this is
         // the difference between launching and not launching the tasks)
-        if (!predicate.matches(rd.columnIdOf, c => rd.fileStats.lift(c), _ => None))
+        if (!pred.matches(rd.columnIdOf, c => rd.fileStats.lift(c), _ => None))
           Nil
         else if (stripes.isEmpty) Seq(MothInputPartition(f, 0L, Long.MaxValue))
         else {
@@ -707,7 +745,7 @@ class MothScan(path: String, required: StructType, predicate: StatsPredicate,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    MothReaderFactory(required, predicate, readerOpts)
+    MothReaderFactory(required, effectivePredicate, readerOpts)
 
   override def supportedCustomMetrics()
       : Array[org.apache.spark.sql.connector.metric.CustomMetric] =

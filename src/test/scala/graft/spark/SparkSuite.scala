@@ -716,6 +716,56 @@ class SparkSuite extends AnyFunSuite with BeforeAndAfterAll {
       df.filter(col("dec") <= lit(new java.math.BigDecimal("1.50"))).count())
   }
 
+  test("runtime filtering: broadcast join key set prunes moth files at execution") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val s = spark
+    import s.implicits._
+    val d = tmpDir() + "/rtf"
+    // two disjoint-key files: a dim-table join touching only low keys must
+    // prune the high-key file at execution time via the runtime In filter
+    val fact = ((0L until 10000L) ++ (100000L until 110000L)).toDF("k")
+      .withColumn("v", (col("k") % 97).cast("long"))
+    MothSpark.writeFiles(
+      fact.repartitionByRange(2, col("k")).sortWithinPartitions("k"),
+      d, "rtf", CompressionKind.ZLIB, WriterOpts(rowGroupMaxRowCount = 1000))
+    val moth = spark.read.format("moth").load(d)
+    // DPP fires when the dim side carries a SELECTIVE predicate whose join
+    // keys overlap the scan's filterAttributes; Range (not a LocalRelation,
+    // which would fold the Filter away) keeps the predicate visible
+    val dim = spark.range(0, 10000).toDF("dk").filter(col("dk") < 50)
+    val joined = moth.join(broadcast(dim), col("k") === col("dk"))
+    val rows = joined.collect()
+    assert(rows.length == 50, s"join must return 50 rows, got ${rows.length}")
+    // the executed scan must have seen the runtime filter and planned fewer
+    // partitions than the unfiltered table holds (descend through AQE query
+    // stages — they are leaves to .collect)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def allNodes(p: SparkPlan): Seq[SparkPlan] =
+      (p +: p.children.flatMap(allNodes)) ++ (p match {
+        case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+        case q: QueryStageExec => allNodes(q.plan)
+        case _ => Nil
+      })
+    val scans = allNodes(joined.queryExecution.executedPlan).collect {
+      case b: BatchScanExec if b.scan.isInstanceOf[graft.spark.source.MothScan] => b
+    }
+    assert(scans.nonEmpty,
+      s"no moth BatchScanExec in:\n${joined.queryExecution.executedPlan}")
+    val b = scans.head
+    info(s"runtimeFilters=${b.runtimeFilters}")
+    assert(b.runtimeFilters.nonEmpty,
+      "Spark must attach a runtime (DPP) filter to the moth scan")
+    val planned = b.inputRDD.getNumPartitions
+    val all = spark.read.format("moth").load(d).rdd.getNumPartitions
+    info(s"planned=$planned all=$all")
+    assert(planned < all,
+      s"runtime filter should prune files: planned $planned of $all")
+    // equality against the unpruned join
+    val expect = fact.join(dim, col("k") === col("dk")).collect()
+    assert(rows.map(_.toString).sorted.sameElements(expect.map(_.toString).sorted))
+  }
+
   test("columnar scan: vectorized batches equal row decode, incl. nested types") {
     val s = spark
     import s.implicits._
