@@ -272,11 +272,25 @@ class MothScanBuilder(path: String, fullSchema: StructType,
     maxPartitionBytes: Long = 128L << 20, maxFilesPerTrigger: Option[Int] = None,
     readerOpts: graft.core.file.ReaderOpts = graft.core.file.ReaderOpts())
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates with SupportsPushDownLimit {
 
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
   private var aggPush: Option[(StructType, Array[Long])] = None
+  private var limit: Option[Int] = None
+
+  /** `df.limit(n)` probes — the constant pattern of interactive data
+    * inspection — cap the PLANNED task wave using footer/stripe row counts
+    * instead of scanning a full wave and discarding. Partial pushdown:
+    * Spark keeps its own Limit operator, the scan just plans no more
+    * stripes than needed to cover n rows. Spark only pushes a limit when
+    * no post-scan filter sits below it; since every moth filter is
+    * residual, that means no filter at all — exactly when footer counts
+    * are authoritative (belt-and-braces guard anyway).
+    */
+  override def pushLimit(n: Int): Boolean =
+    if (pushed.nonEmpty) false
+    else { limit = Some(n); true }
 
   /** COUNT(*) / COUNT(col) / MIN / MAX answered from file footers — zero
     * data bytes scanned. Only COMPLETE pushdown (one exact row), only when
@@ -446,7 +460,8 @@ class MothScanBuilder(path: String, fullSchema: StructType,
     case None =>
       new MothScan(path, required,
         StatsPredicate(pushed.flatMap(f => MothFilters.toPreds(fullSchema, f)).toSeq),
-        maxPartitionBytes, maxFilesPerTrigger, readerOpts)
+        maxPartitionBytes, maxFilesPerTrigger, readerOpts,
+        limit = if (pushed.isEmpty) limit else None)
   }
 }
 
@@ -670,7 +685,8 @@ object MothFilters {
 
 class MothScan(path: String, required: StructType, predicate: StatsPredicate,
     maxPartitionBytes: Long = 128L << 20, maxFilesPerTrigger: Option[Int] = None,
-    readerOpts: graft.core.file.ReaderOpts = graft.core.file.ReaderOpts())
+    readerOpts: graft.core.file.ReaderOpts = graft.core.file.ReaderOpts(),
+    limit: Option[Int] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
 
@@ -709,9 +725,46 @@ class MothScan(path: String, required: StructType, predicate: StatsPredicate,
     * MothRecordReader.go splitContainsStripe), small files stay whole.
     * At 100TB this is what fans a few thousand files out to every core.
     */
+  /** Limit probes: plan one split per stripe, in file order, until the
+    * stripes' footer row counts cover n — a `limit(10)` on a 100k-file
+    * table launches one task over one stripe instead of a full wave. Only
+    * valid with no predicate (a filter makes row counts non-authoritative;
+    * the builder never pushes a limit alongside filters, and a runtime
+    * filter arriving later disables the capped plan too).
+    */
+  private def planLimited(n: Int): Array[InputPartition] = {
+    val out = scala.collection.mutable.ArrayBuffer[InputPartition]()
+    var acc = 0L
+    val files = MothTable.listFiles(path).iterator
+    while (acc < n && files.hasNext) {
+      val f = files.next()
+      val rd = MothFileReader.fromPathCached(f)
+      try {
+        val stripes = rd.footer.stripes
+        if (stripes.isEmpty) {
+          out += MothInputPartition(f, 0L, Long.MaxValue)
+          acc += rd.rowCount
+        } else {
+          val it = stripes.iterator
+          while (acc < n && it.hasNext) {
+            val s = it.next()
+            val len = s.indexLength + s.dataLength + s.footerLength
+            out += MothInputPartition(f, s.offset, s.offset + len)
+            acc += s.numberOfRows
+          }
+        }
+      } finally rd.close()
+    }
+    out.toArray
+  }
+
   override def planInputPartitions(): Array[InputPartition] = {
     val targetBytes = maxPartitionBytes
     val pred = effectivePredicate
+    limit match {
+      case Some(n) if pred.preds.isEmpty => return planLimited(n)
+      case _ =>
+    }
     MothTable.parFiles(path).flatMap { f =>
       val rd = MothFileReader.fromPathCached(f)
       try {

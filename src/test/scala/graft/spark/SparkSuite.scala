@@ -766,6 +766,52 @@ class SparkSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.map(_.toString).sorted.sameElements(expect.map(_.toString).sorted))
   }
 
+  test("limit pushdown: a small limit plans one stripe, not a full task wave") {
+    import graft.spark.source.{MothScan, MothScanBuilder}
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val s = spark
+    import s.implicits._
+    val d = tmpDir() + "/limit"
+    // 6 files, several stripes each
+    (0L until 60000L).toDF("k")
+      .withColumn("pad", expr("repeat(cast(k % 100 AS string), 20)"))
+      .repartition(6)
+      .write.format("moth").mode("append").save(d)
+    val schema = spark.read.format("moth").load(d).schema
+    val b = new MothScanBuilder(d, schema)
+    assert(b.pushLimit(10))
+    val planned = b.build().asInstanceOf[MothScan].planInputPartitions()
+    assert(planned.length == 1,
+      s"limit(10) should plan exactly one stripe split, got ${planned.length}")
+    // a limit larger than the table plans everything and still answers fully
+    val b2 = new MothScanBuilder(d, schema)
+    assert(b2.pushLimit(1000000))
+    assert(b2.build().asInstanceOf[MothScan].planInputPartitions().length >= 6)
+    // with a pushed filter the limit is refused (row counts describe the
+    // unfiltered file)
+    val b3 = new MothScanBuilder(d, schema)
+    b3.pushFilters(Array(org.apache.spark.sql.sources.GreaterThan("k", 100L)))
+    assert(!b3.pushLimit(10))
+    // end-to-end through Catalyst: plan carries a capped scan, rows exact
+    val q = spark.read.format("moth").load(d).limit(10)
+    assert(q.collect().length == 10)
+    def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] =
+      (p +: p.children.flatMap(allNodes)) ++ (p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          allNodes(a.executedPlan)
+        case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          allNodes(qs.plan)
+        case _ => Nil
+      })
+    val scans = allNodes(q.queryExecution.executedPlan).collect {
+      case bx: BatchScanExec if bx.scan.isInstanceOf[MothScan] => bx
+    }
+    assert(scans.nonEmpty)
+    assert(scans.head.inputRDD.getNumPartitions <= 1,
+      s"pushed limit should cap planned partitions, got ${scans.head.inputRDD.getNumPartitions}")
+  }
+
   test("columnar scan: vectorized batches equal row decode, incl. nested types") {
     val s = spark
     import s.implicits._
