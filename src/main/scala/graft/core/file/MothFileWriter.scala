@@ -144,6 +144,16 @@ final class MothFileWriter(out: OutputStream, schema: MothType.TStruct,
   private var fileRows = 0L
   private var peakRetained = 0L
   private var closed = false
+  private var extraMetadata: Map[String, String] = Map.empty
+
+  /** Add a footer userMetadata entry after construction (e.g. a verified
+    * sort-order tag that is only known once all rows were observed).
+    * Must be called before close().
+    */
+  def addUserMetadata(key: String, value: String): Unit = {
+    require(!closed)
+    extraMetadata += (key -> value)
+  }
 
   def write(v: ColVec): Unit = {
     require(!closed)
@@ -182,7 +192,7 @@ final class MothFileWriter(out: OutputStream, schema: MothType.TStruct,
     val fileStats = (0 until nCols).map { c =>
       ColStats.mergeAll(stripeStatsList.map(_(c)))
     }
-    val userMeta = (opts.userMetadata + ("graft.writer.version" -> "1"))
+    val userMeta = (opts.userMetadata ++ extraMetadata + ("graft.writer.version" -> "1"))
       .map { case (k, v) => k -> v.getBytes("UTF-8") }
     val footer = Meta.FooterMsg(Meta.Magic.length.toLong, contentLength,
       stripeInfos.toSeq, Meta.flattenTypes(schema), fileRows, fileStats,

@@ -17,6 +17,120 @@ import graft.spark.SparkBridge._
 object MothSpark {
   val BatchSize: Int = sys.env.getOrElse("GRAFT_BATCH_SIZE", "1024").toInt
 
+  /** Footer userMetadata key carrying a VERIFIED intra-file sort order
+    * ("colA,colB"). The DSv2 scan reports it as `SupportsReportOrdering`
+    * so downstream per-partition sorts (sort-merge join sides,
+    * sortWithinPartitions) are elided instead of re-sorting data the
+    * encode pipeline already ordered.
+    */
+  val SortedByKey = "moth.sorted.by"
+
+  /** Key-column types the sort tag supports: fixed-width families compare
+    * via their ColVec long/double slots; strings/binary compare as
+    * unsigned bytes (Spark's own binary ordering). Wide decimals (>18
+    * digits) are excluded — their varint bytes are not order-preserving.
+    */
+  def sortTagEligible(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case BooleanType | ByteType | ShortType | IntegerType | LongType |
+           DateType | TimestampType | TimestampNTZType | FloatType |
+           DoubleType | StringType | BinaryType => true
+      case d: DecimalType => d.precision <= 18
+      case _ => false
+    }
+  }
+
+  /** Streaming verifier that batches arrive non-decreasing on the key
+    * columns — ascending, NULLS FIRST (Spark's default asc ordering) —
+    * across batch boundaries. O(rows·keys), no allocation except one
+    * stashed key per batch boundary.
+    */
+  final class SortChecker(keyIdx: Array[Int]) {
+    private var seen = false
+    private var _ok = true
+    def ok: Boolean = _ok
+    private val pNull = new Array[Boolean](keyIdx.length)
+    private val pLong = new Array[Long](keyIdx.length)
+    private val pDouble = new Array[Double](keyIdx.length)
+    private val pBytes = new Array[Array[Byte]](keyIdx.length)
+
+    private def bytesAt(c: graft.core.columns.ColVec, row: Int): (Array[Byte], Int, Int) =
+      if (c.packed != null) (c.packed, c.binOff(row), c.binLen(row))
+      else (c.bins(row), 0, c.bins(row).length)
+
+    /** key(a) compared to key(b) within one vec. */
+    private def cmpRows(v: graft.core.columns.ColVec, a: Int, b: Int): Int = {
+      var i = 0
+      while (i < keyIdx.length) {
+        val c = v.children(keyIdx(i))
+        val (na, nb) = (c.isNull(a), c.isNull(b))
+        val r =
+          if (na && nb) 0
+          else if (na) -1
+          else if (nb) 1
+          else if (c.longs != null) java.lang.Long.compare(c.longs(a), c.longs(b))
+          else if (c.doubles != null) java.lang.Double.compare(c.doubles(a), c.doubles(b))
+          else {
+            val (ba, oa, la) = bytesAt(c, a)
+            val (bb, ob, lb) = bytesAt(c, b)
+            graft.core.stats.ColStats.compareSlices(ba, oa, la, bb, ob, lb)
+          }
+        if (r != 0) return r
+        i += 1
+      }
+      0
+    }
+
+    /** stashed previous-batch key compared to key(row). */
+    private def cmpPrev(v: graft.core.columns.ColVec, row: Int): Int = {
+      var i = 0
+      while (i < keyIdx.length) {
+        val c = v.children(keyIdx(i))
+        val cur = c.isNull(row)
+        val r =
+          if (pNull(i) && cur) 0
+          else if (pNull(i)) -1
+          else if (cur) 1
+          else if (c.longs != null) java.lang.Long.compare(pLong(i), c.longs(row))
+          else if (c.doubles != null) java.lang.Double.compare(pDouble(i), c.doubles(row))
+          else {
+            val (bb, ob, lb) = bytesAt(c, row)
+            graft.core.stats.ColStats.compareSlices(pBytes(i), 0, pBytes(i).length, bb, ob, lb)
+          }
+        if (r != 0) return r
+        i += 1
+      }
+      0
+    }
+
+    def update(v: graft.core.columns.ColVec): Unit = {
+      if (!_ok || v.len == 0) return
+      if (seen && cmpPrev(v, 0) > 0) { _ok = false; return }
+      var row = 1
+      while (row < v.len) {
+        if (cmpRows(v, row - 1, row) > 0) { _ok = false; return }
+        row += 1
+      }
+      val last = v.len - 1
+      var i = 0
+      while (i < keyIdx.length) {
+        val c = v.children(keyIdx(i))
+        pNull(i) = c.isNull(last)
+        if (!pNull(i)) {
+          if (c.longs != null) pLong(i) = c.longs(last)
+          else if (c.doubles != null) pDouble(i) = c.doubles(last)
+          else {
+            val (b, o, l) = bytesAt(c, last)
+            pBytes(i) = java.util.Arrays.copyOfRange(b, o, o + l)
+          }
+        }
+        i += 1
+      }
+      seen = true
+    }
+  }
+
   /** Encode an iterator of rows into `out`; the caller owns the stream. */
   def encodeRows(schema: StructType, rows: Iterator[Row], out: java.io.OutputStream,
       compression: CompressionKind.Value, opts: WriterOpts): FileWriteResult = {
@@ -38,7 +152,8 @@ object MothSpark {
   def encodeInternalRows(schema: StructType,
       rows: Iterator[org.apache.spark.sql.catalyst.InternalRow],
       out: java.io.OutputStream, compression: CompressionKind.Value,
-      opts: WriterOpts, onVec: ColVecCallback = null): FileWriteResult = {
+      opts: WriterOpts, onVec: ColVecCallback = null,
+      beforeClose: MothFileWriter => Unit = null): FileWriteResult = {
     val moth = toMothStruct(schema)
     val w = new MothFileWriter(out, moth, compression, opts)
     val b = new InternalBridge.VecBuilder(schema, BatchSize)
@@ -55,6 +170,7 @@ object MothSpark {
       if (onVec != null) onVec(v)
       w.write(v)
     }
+    if (beforeClose != null) beforeClose(w)
     w.close()
   }
 
@@ -143,14 +259,24 @@ object MothSpark {
         val fos = new java.io.BufferedOutputStream(Sources.createOutput(tmp), 1 << 16)
         var firstKey: Option[String] = None
         var lastKey: Option[String] = None
+        // verify-and-tag: if every batch arrives non-decreasing on the key
+        // columns, the footer records the sort order for the scan to report
+        val checker =
+          if (keyIdx.isEmpty || !keyIdx.forall(i => sortTagEligible(schema(i).dataType)))
+            null
+          else new SortChecker(keyIdx)
         // key bounds read from built batches — zero per-row overhead
         val onVec: ColVecCallback = if (keyIdx.isEmpty) null else { v =>
           if (v.len > 0) {
             if (firstKey.isEmpty) firstKey = Some(keyOf(keyIdx, v, 0))
             lastKey = Some(keyOf(keyIdx, v, v.len - 1))
           }
+          if (checker != null) checker.update(v)
         }
-        val res = encodeInternalRows(schema, rows, fos, compression, opts, onVec)
+        val res = encodeInternalRows(schema, rows, fos, compression, opts, onVec,
+          beforeClose = w =>
+            if (checker != null && checker.ok)
+              w.addUserMetadata(SortedByKey, firstKeyCols.mkString(",")))
         fos.close()
         Sources.atomicRename(tmp, s"$outDir/$file")
         Manifest(pid, snapshotId, res.rows, res.stripes.map(_.rawBytes).sum, res.bytes,

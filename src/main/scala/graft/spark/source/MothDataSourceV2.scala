@@ -145,7 +145,12 @@ class MothTable(path: String, tableSchema: StructType) extends Table
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new MothWriteBuilder(path, info.schema(), info.queryId(),
       Option(info.options.get("codec")).map(c => CompressionKind.withName(c.toUpperCase))
-        .getOrElse(CompressionKind.ZLIB))
+        .getOrElse(CompressionKind.ZLIB),
+      // `option("sortedBy", "a,b")`: verify-and-tag — each task checks its
+      // rows really arrive non-decreasing on these keys and records the
+      // order in the footer; unsorted input is written fine, just untagged
+      Option(info.options.get("sortedBy")).map(_.split(",").toSeq
+        .map(_.trim).filter(_.nonEmpty)).getOrElse(Nil))
 }
 
 /** DSv2 write: `df.write.format("moth").mode("append"|"overwrite").save(dir)`.
@@ -155,14 +160,17 @@ class MothTable(path: String, tableSchema: StructType) extends Table
   * through its writer API; this is the engine's Catalyst-facing face.
   */
 class MothWriteBuilder(path: String, schema: StructType, queryId: String,
-    codec: CompressionKind.Value) extends WriteBuilder with SupportsTruncate {
+    codec: CompressionKind.Value, sortedBy: Seq[String] = Nil)
+    extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
-  override def build(): Write = new MothWrite(path, schema, queryId, codec, doTruncate)
+  override def build(): Write =
+    new MothWrite(path, schema, queryId, codec, doTruncate, sortedBy)
 }
 
 class MothWrite(path: String, schema: StructType, queryId: String,
-    codec: CompressionKind.Value, truncate: Boolean) extends Write with BatchWrite {
+    codec: CompressionKind.Value, truncate: Boolean, sortedBy: Seq[String] = Nil)
+    extends Write with BatchWrite {
   import org.apache.hadoop.fs.Path
   import graft.core.file.Sources
   override def toBatch: BatchWrite = this
@@ -188,7 +196,7 @@ class MothWrite(path: String, schema: StructType, queryId: String,
           s"moth append schema mismatch: dir has $have, writing $schema")
       }
     }
-    MothDataWriterFactory(path, schema, queryId, codec)
+    MothDataWriterFactory(path, schema, queryId, codec, sortedBy)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -214,15 +222,16 @@ class MothWrite(path: String, schema: StructType, queryId: String,
 case class MothCommit(fileName: String) extends WriterCommitMessage
 
 case class MothDataWriterFactory(path: String, schema: StructType, queryId: String,
-    codec: CompressionKind.Value) extends DataWriterFactory {
+    codec: CompressionKind.Value, sortedBy: Seq[String] = Nil) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     HadoopConfSync.ensure()
-    new MothDataWriter(path, schema, queryId, codec, partitionId, taskId)
+    new MothDataWriter(path, schema, queryId, codec, partitionId, taskId, sortedBy)
   }
 }
 
 class MothDataWriter(path: String, schema: StructType, queryId: String,
-    codec: CompressionKind.Value, partitionId: Int, taskId: Long)
+    codec: CompressionKind.Value, partitionId: Int, taskId: Long,
+    sortedBy: Seq[String] = Nil)
     extends DataWriter[InternalRow] {
   import org.apache.hadoop.fs.Path
   // storage-agnostic output: attempt-private tmp created via the path's
@@ -234,14 +243,28 @@ class MothDataWriter(path: String, schema: StructType, queryId: String,
   private val fos = new java.io.BufferedOutputStream(fs.create(tmp, true), 1 << 16)
   private val writer = new MothFileWriter(fos, SparkBridge.toMothStruct(schema), codec, WriterOpts())
   private val batch = new InternalBridge.VecBuilder(schema, graft.spark.MothSpark.BatchSize)
+  private val checker = {
+    val idx = sortedBy.filter(schema.fieldNames.contains).map(schema.fieldIndex)
+    if (idx.isEmpty || idx.size != sortedBy.size ||
+        !idx.forall(i => graft.spark.MothSpark.sortTagEligible(schema(i).dataType))) null
+    else new graft.spark.MothSpark.SortChecker(idx.toArray)
+  }
+
+  private def flushBatch(): Unit = {
+    val v = batch.build()
+    if (checker != null) checker.update(v)
+    writer.write(v)
+  }
 
   override def write(row: InternalRow): Unit = {
     batch.add(row)
-    if (batch.count == graft.spark.MothSpark.BatchSize) writer.write(batch.build())
+    if (batch.count == graft.spark.MothSpark.BatchSize) flushBatch()
   }
 
   override def commit(): WriterCommitMessage = {
-    if (batch.count > 0) writer.write(batch.build())
+    if (batch.count > 0) flushBatch()
+    if (checker != null && checker.ok)
+      writer.addUserMetadata(graft.spark.MothSpark.SortedByKey, sortedBy.mkString(","))
     writer.close()
     fos.close()
     val dst = new Path(path, fileName)
@@ -688,9 +711,43 @@ class MothScan(path: String, required: StructType, predicate: StatsPredicate,
     readerOpts: graft.core.file.ReaderOpts = graft.core.file.ReaderOpts(),
     limit: Option[Int] = None)
     extends Scan with Batch with SupportsReportStatistics
-    with SupportsRuntimeFiltering {
+    with SupportsRuntimeFiltering with SupportsReportOrdering {
 
   override def readSchema(): StructType = required
+
+  /** Per-partition ordering from the files' verified footer sort tags.
+    * Every split — whole file or stripe range — is a contiguous prefix/run
+    * of a sorted file, so the intra-file order IS the partition order.
+    * Reported only when EVERY file carries the identical tag, projected to
+    * the longest prefix of sort columns present in the read schema. Spark
+    * then elides per-partition sorts (sortWithinPartitions, SMJ sides)
+    * over data the encode pipeline already ordered. Cheap: the negative
+    * probe reads ONE cached tail; the positive path reads tails the
+    * planner is about to read anyway.
+    */
+  private lazy val reportedOrdering
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    import org.apache.spark.sql.connector.expressions.{Expressions, NullOrdering, SortDirection}
+    val files = MothTable.listFiles(path)
+    def tag(f: String): Option[Seq[String]] = {
+      val rd = MothFileReader.fromPathCached(f)
+      try rd.userMetadata.get(graft.spark.MothSpark.SortedByKey)
+        .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      finally rd.close()
+    }
+    tag(files.head) match {
+      case Some(cols) if cols.nonEmpty &&
+          files.tail.forall(f => tag(f).contains(cols)) =>
+        cols.takeWhile(c => required.fieldNames.contains(c))
+          .map(c => Expressions.sort(Expressions.column(c),
+            SortDirection.ASCENDING, NullOrdering.NULLS_FIRST))
+          .toArray
+      case _ => Array.empty
+    }
+  }
+
+  override def outputOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] = reportedOrdering
   override def toBatch: Batch = this
   override def description(): String =
     s"MothScan(path=$path, cols=${required.fieldNames.mkString(",")}, " +

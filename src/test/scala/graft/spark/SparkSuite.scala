@@ -812,6 +812,58 @@ class SparkSuite extends AnyFunSuite with BeforeAndAfterAll {
       s"pushed limit should cap planned partitions, got ${scans.head.inputRDD.getNumPartitions}")
   }
 
+  test("reported ordering: per-partition re-sort elided, global sort stays correct") {
+    import org.apache.spark.sql.execution.{SortExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def allNodes(p: SparkPlan): Seq[SparkPlan] =
+      (p +: p.children.flatMap(allNodes)) ++ (p match {
+        case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+        case q: QueryStageExec => allNodes(q.plan)
+        case _ => Nil
+      })
+    val d = tmpDir() + "/ord"
+    // HASH-partitioned (overlapping key ranges) but sorted WITHIN partitions
+    val df = TranscriptGen.transcripts(spark, 20000, seed = 4)
+    MothSpark.writeFiles(
+      df.repartition(3, col("conv_id")).sortWithinPartitions("conv_id", "turn_idx"),
+      d, "ord", CompressionKind.ZLIB, WriterOpts(), Seq("conv_id", "turn_idx"))
+    val moth = spark.read.format("moth").load(d)
+    // per-partition re-sort on the reported prefix is ELIDED
+    val q1 = moth.sortWithinPartitions("conv_id", "turn_idx")
+    q1.collect()
+    val sorts1 = allNodes(q1.queryExecution.executedPlan).collect { case s: SortExec => s }
+    assert(sorts1.isEmpty,
+      s"sortWithinPartitions over reported ordering must elide the Sort:\n${q1.queryExecution.executedPlan}")
+    // a DIFFERENT per-partition order still sorts
+    val q2 = moth.sortWithinPartitions("turn_idx")
+    assert(allNodes(q2.queryExecution.executedPlan).collect { case s: SortExec => s }.nonEmpty)
+    // GLOBAL orderBy over overlapping files must still produce a true global
+    // order (per-partition ordering must never be mistaken for global)
+    val global = moth.orderBy("conv_id", "turn_idx")
+      .select(concat_ws("#", col("conv_id"), col("turn_idx")))
+      .collect().map(_.getString(0))
+    val expect = df.orderBy("conv_id", "turn_idx")
+      .select(concat_ws("#", col("conv_id"), col("turn_idx")))
+      .collect().map(_.getString(0))
+    assert(global.sameElements(expect), "global orderBy must stay globally sorted")
+    // DSv2 write path: option(sortedBy) tags only truly-sorted data
+    val d2 = tmpDir() + "/ord2"
+    df.repartition(2, col("conv_id")).sortWithinPartitions("conv_id", "turn_idx")
+      .write.format("moth").option("sortedBy", "conv_id,turn_idx").mode("append").save(d2)
+    val q3 = spark.read.format("moth").load(d2).sortWithinPartitions("conv_id", "turn_idx")
+    q3.collect()
+    assert(allNodes(q3.queryExecution.executedPlan).collect { case s: SortExec => s }.isEmpty,
+      "sortedBy-tagged DSv2 write must report ordering")
+    val d3 = tmpDir() + "/ord3"
+    // UNSORTED data with the option: files must stay untagged → sort remains
+    df.repartition(2).write.format("moth")
+      .option("sortedBy", "conv_id,turn_idx").mode("append").save(d3)
+    val q4 = spark.read.format("moth").load(d3).sortWithinPartitions("conv_id", "turn_idx")
+    q4.collect()
+    assert(allNodes(q4.queryExecution.executedPlan).collect { case s: SortExec => s }.nonEmpty,
+      "unsorted data must not be tagged as sorted")
+  }
+
   test("columnar scan: vectorized batches equal row decode, incl. nested types") {
     val s = spark
     import s.implicits._
