@@ -240,6 +240,44 @@ object SparkEntry {
           sum("o_orderkey").cast("long").as("sum_key"))
     }),
 
+    // — full streaming path under the driver's oracle: the events table is
+    //   staged as two moth file waves into a watched dir, drained through
+    //   readStream.format("moth") (admission-controlled, AvailableNow) into
+    //   the StreamingEncode moth sink (per-epoch manifests, exactly-once),
+    //   and every epoch's output is read back through the DSv2 scan. The
+    //   oracle is identity SQL — any defect in source admission, offsets,
+    //   epoch isolation or sink encode breaks the hash compare. —
+    "streaming_roundtrip" -> ((s, d) => {
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft-stream-${Integer.toHexString(d.hashCode)}").getAbsolutePath
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(base)) // deterministic re-run: rebuild from scratch
+      val in = s"$base/in"
+      val out = s"$base/out"
+      val ev = read(s, d, "events")
+      ev.filter(col("event_id") % 2 === 0).coalesce(2)
+        .write.format("moth").mode("append").save(in)
+      ev.filter(col("event_id") % 2 === 1).coalesce(2)
+        .write.format("moth").mode("append").save(in)
+      val stream = s.readStream.format("moth").schema(ev.schema)
+        .option("maxFilesPerTrigger", "2").load(in)
+      val q = graft.spark.StreamingEncode.sink(stream, out, partitions = 2,
+        keyCols = Seq("event_id"))
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val batchDirs = new java.io.File(out).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("batch-")).sorted
+      batchDirs.map(b => s.read.format("moth").load(b.getAbsolutePath))
+        .reduce(_ unionByName _)
+        .select(ev.columns.map(col): _*)
+        .orderBy("event_id")
+    }),
+
     // — training-data ops (shared SQL text with the oracle) —
     "dedup_exact" -> ((s, d) => bySql(s, d, Seq("documents"), DedupExactSql)),
     "text_quality" -> ((s, d) => bySql(s, d, Seq("documents"), TextQualitySql)),
@@ -379,6 +417,7 @@ object SparkEntry {
     "roundtrip_orders" -> "SELECT * FROM orders ORDER BY o_orderkey",
     "roundtrip_documents" -> "SELECT * FROM documents ORDER BY doc_id",
     "roundtrip_events" -> "SELECT * FROM events ORDER BY event_id",
+    "streaming_roundtrip" -> "SELECT * FROM events ORDER BY event_id",
     "roundtrip_embeddings" ->
       """SELECT vec_id, cast(len(embedding) AS bigint) AS dim,
         |  cast(list_sum(list_transform(embedding, x -> cast(floor(cast(x AS double) * 1000) AS bigint))) AS bigint) AS checksum,

@@ -138,7 +138,13 @@ class MothTable(path: String, tableSchema: StructType) extends Table
       maxBlockBytes = longOpt("maxBlockBytes", dfltOpts.maxBlockBytes))
     new MothScanBuilder(path, tableSchema,
       longOpt("maxPartitionBytes", 128L << 20),
-      Option(options.get("maxFilesPerTrigger")).map(_.toInt),
+      MothStreamOpts(
+        maxFilesPerTrigger = Option(options.get("maxFilesPerTrigger")).map(_.toInt),
+        cleanSource = Option(options.get("cleanSource")).map(_.toLowerCase)
+          .getOrElse("off"),
+        archiveDir = Option(options.get("sourceArchiveDir")),
+        compactInterval = Option(options.get("logCompactInterval")).map(_.toInt)
+          .getOrElse(MothStreamLog.DefaultCompactInterval)),
       readerOpts)
   }
 
@@ -292,7 +298,8 @@ class MothDataWriter(path: String, schema: StructType, queryId: String,
 }
 
 class MothScanBuilder(path: String, fullSchema: StructType,
-    maxPartitionBytes: Long = 128L << 20, maxFilesPerTrigger: Option[Int] = None,
+    maxPartitionBytes: Long = 128L << 20,
+    streamOpts: MothStreamOpts = MothStreamOpts(),
     readerOpts: graft.core.file.ReaderOpts = graft.core.file.ReaderOpts())
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates with SupportsPushDownLimit {
@@ -483,7 +490,7 @@ class MothScanBuilder(path: String, fullSchema: StructType,
     case None =>
       new MothScan(path, required,
         StatsPredicate(pushed.flatMap(f => MothFilters.toPreds(fullSchema, f)).toSeq),
-        maxPartitionBytes, maxFilesPerTrigger, readerOpts,
+        maxPartitionBytes, streamOpts, readerOpts,
         limit = if (pushed.isEmpty) limit else None)
   }
 }
@@ -707,7 +714,8 @@ object MothFilters {
 }
 
 class MothScan(path: String, required: StructType, predicate: StatsPredicate,
-    maxPartitionBytes: Long = 128L << 20, maxFilesPerTrigger: Option[Int] = None,
+    maxPartitionBytes: Long = 128L << 20,
+    streamOpts: MothStreamOpts = MothStreamOpts(),
     readerOpts: graft.core.file.ReaderOpts = graft.core.file.ReaderOpts(),
     limit: Option[Int] = None)
     extends Scan with Batch with SupportsReportStatistics
@@ -863,7 +871,7 @@ class MothScan(path: String, required: StructType, predicate: StatsPredicate,
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new MothMicroBatchStream(path, required, predicate, maxFilesPerTrigger,
+    new MothMicroBatchStream(path, required, predicate, streamOpts,
       checkpointLocation, readerOpts = readerOpts)
 
   /** Footer-derived stats — lets Catalyst see table size without a scan

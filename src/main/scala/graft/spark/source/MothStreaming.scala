@@ -36,13 +36,25 @@ import graft.core.file.{Sources, StatsPredicate}
   * a MOTH output directory never sees a partial file).
   */
 class MothMicroBatchStream(path: String, required: StructType,
-    predicate: StatsPredicate, maxFilesPerTrigger: Option[Int] = None,
+    predicate: StatsPredicate, streamOpts: MothStreamOpts = MothStreamOpts(),
     checkpointLocation: String = null,
-    compactInterval: Int = MothStreamLog.DefaultCompactInterval,
     readerOpts: graft.core.file.ReaderOpts = graft.core.file.ReaderOpts())
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
   HadoopConfSync.ensure()
+
+  private val maxFilesPerTrigger = streamOpts.maxFilesPerTrigger
+  private val compactInterval = streamOpts.compactInterval
+  require(streamOpts.cleanSource == "off" || streamOpts.cleanSource == "delete" ||
+    streamOpts.cleanSource == "archive",
+    s"cleanSource must be off|delete|archive, got ${streamOpts.cleanSource}")
+  if (streamOpts.cleanSource == "archive") {
+    val a = streamOpts.archiveDir.getOrElse(
+      throw new IllegalArgumentException(
+        "cleanSource=archive requires option sourceArchiveDir"))
+    require(!new Path(a).toString.startsWith(new Path(path).toString),
+      s"sourceArchiveDir $a must lie outside the watched directory $path")
+  }
 
   private val log = new MothStreamLog(
     new Path(if (checkpointLocation != null) checkpointLocation else path,
@@ -123,7 +135,41 @@ class MothMicroBatchStream(path: String, required: StructType,
   override def deserializeOffset(json: String): Offset =
     if (json.trim.startsWith("[")) MothStreamOffset(MothStreamOffset.parse(json))
     else MothLogOffset(MothLogOffset.parse(json))
-  override def commit(end: Offset): Unit = ()
+
+  /** Source retention (`option("cleanSource", "archive"|"delete")`): after
+    * Spark commits a batch, files admitted at least one full compact
+    * interval before the committed offset are moved to `sourceArchiveDir`
+    * (or deleted). The watched directory — which otherwise grows forever
+    * under a months-running query while `currentFiles()` re-lists it every
+    * trigger — stays bounded at ~2 compact intervals of files. Idempotent
+    * and restart-safe: cleanup reads the persisted compact snapshot, an
+    * already-moved file is simply absent, and cleaned files remain in the
+    * seen-set log so they are never re-admitted. Files must have no other
+    * concurrent consumer (same contract as Spark's file source cleanSource).
+    */
+  @volatile private var cleanedUpTo = 0L
+  override def commit(end: Offset): Unit = end match {
+    case MothLogOffset(i) if streamOpts.cleanSource != "off" =>
+      log.latestCompactAtOrBelow(i - compactInterval).foreach { c =>
+        if (c > cleanedUpTo) {
+          val watched = new Path(path)
+          val fs = watched.getFileSystem(Sources.conf)
+          log.compactNames(c).foreach { n =>
+            val p = new Path(watched, n)
+            if (fs.exists(p)) streamOpts.cleanSource match {
+              case "delete" => fs.delete(p, false)
+              case "archive" =>
+                val dst = new Path(streamOpts.archiveDir.get, n)
+                fs.mkdirs(dst.getParent)
+                if (!fs.rename(p, dst))
+                  throw new java.io.IOException(s"archive $p -> $dst failed")
+            }
+          }
+          cleanedUpTo = c
+        }
+      }
+    case _ => ()
+  }
   override def stop(): Unit = ()
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
@@ -141,6 +187,15 @@ class MothMicroBatchStream(path: String, required: StructType,
   override def createReaderFactory(): PartitionReaderFactory =
     MothReaderFactory(required, predicate, readerOpts)
 }
+
+/** Streaming-source options (parsed from the scan's case-insensitive
+  * option map): admission control, retention, log compaction cadence.
+  */
+final case class MothStreamOpts(
+    maxFilesPerTrigger: Option[Int] = None,
+    cleanSource: String = "off",
+    archiveDir: Option[String] = None,
+    compactInterval: Int = MothStreamLog.DefaultCompactInterval)
 
 /** Compact offset: a monotone index into the file log — `{"i":N}`. */
 case class MothLogOffset(index: Long) extends Offset {
@@ -257,6 +312,19 @@ class MothStreamLog(dir: Path, compactInterval: Int) {
     }
     cached = (i, seenNow)
     i
+  }
+
+  /** Newest compact snapshot at or below `i`, if any — the cleanup anchor
+    * (compacts older than one interval behind the newest are pruned, so
+    * the answer is always reconstructible).
+    */
+  def latestCompactAtOrBelow(i: Long): Option[Long] = synchronized {
+    listLog().filter(e => e._2 && e._1 <= i).map(_._1).maxOption
+  }
+
+  /** Full seen set recorded by the compact snapshot at `i`. */
+  def compactNames(i: Long): Seq[String] = synchronized {
+    readNames(compactPath(i))
   }
 
   /** Migration from a legacy name-set offset: snapshot the whole seen set

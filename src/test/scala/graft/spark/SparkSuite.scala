@@ -864,6 +864,53 @@ class SparkSuite extends AnyFunSuite with BeforeAndAfterAll {
       "unsorted data must not be tagged as sorted")
   }
 
+  test("streaming cleanSource=archive: watched dir stays bounded, results complete, restart-safe") {
+    val s = spark
+    import s.implicits._
+    val watch = tmpDir() + "/in"
+    val arch = tmpDir() + "/arch"
+    val ckpt = tmpDir() + "/ckpt"
+    def addFile(lo: Long): Unit =
+      (lo until lo + 100L).toDF("v").coalesce(1)
+        .write.format("moth").mode("append").save(watch)
+    (0 until 8).foreach(i => addFile(i * 100L))
+    val schema = spark.read.format("moth").load(watch).schema
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    def run(): Unit = {
+      val q = spark.readStream.format("moth").schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("cleanSource", "archive")
+        .option("sourceArchiveDir", arch)
+        .option("logCompactInterval", "2")
+        .load(watch)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.as[Long].collect().foreach(seen.add); ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    run()
+    assert(seen.size == 800, s"all rows must arrive exactly once, got ${seen.size}")
+    val remaining = new java.io.File(watch).listFiles((_, n) => n.endsWith(".moth"))
+    val archived = new java.io.File(arch).listFiles((_, n) => n.endsWith(".moth"))
+    info(s"remaining=${remaining.length} archived=${archived.length}")
+    assert(archived.nonEmpty, "processed files must be archived")
+    assert(remaining.length <= 4,
+      s"watched dir must stay bounded (~2 compact intervals), has ${remaining.length}")
+    assert(remaining.length + archived.length == 8, "no file lost or duplicated")
+    // restart: new files only; archived ones are in the seen log and gone
+    // from the dir — never re-admitted
+    (8 until 10).foreach(i => addFile(i * 100L))
+    run()
+    assert(seen.size == 1000,
+      s"restart must process exactly the two new files, got ${seen.size}")
+    import scala.jdk.CollectionConverters._
+    assert(seen.asScala.toSeq.sorted == (0L until 1000L))
+  }
+
   test("columnar scan: vectorized batches equal row decode, incl. nested types") {
     val s = spark
     import s.implicits._
