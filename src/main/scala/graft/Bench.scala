@@ -40,6 +40,31 @@ object Bench {
       fileBytes: Long, calibMs: Long, calibAluMs: Long,
       meanMs: Long = 0L, meanAluMs: Long = 0L)
 
+  /** Content fingerprint of the engine build: SHA-256 over every file
+    * under src/main (path + bytes), truncated to 16 hex chars. Persisted
+    * quiet-state histories are KEYED to it: a changed build must never
+    * inherit another build's converged scaling number — otherwise a round
+    * that made the encoder slower would carry the old (better) result
+    * forever, because slower builds never produce the lower walls that
+    * would invalidate it.
+    */
+  def buildFingerprint(root: java.nio.file.Path = Paths.get("src/main")): String = {
+    if (!Files.exists(root)) return "unknown"
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val walk = Files.walk(root)
+    try {
+      import scala.jdk.CollectionConverters._
+      walk.iterator().asScala
+        .filter(Files.isRegularFile(_))
+        .toSeq.sortBy(_.toString)
+        .foreach { f =>
+          md.update(f.toString.getBytes("UTF-8"))
+          md.update(Files.readAllBytes(f))
+        }
+    } finally walk.close()
+    md.digest().take(8).map(b => f"$b%02x").mkString
+  }
+
   /** Accumulated quiet scaling evidence, persisted to
     * BENCH/quiet_state.json (committed with the repo). Each run MERGES its
     * quiet trials into per-level histories (the 8 best walls survive);
@@ -48,10 +73,13 @@ object Bench {
     * its own minimum. Storm trials never enter (the quiet gate filters
     * them), so the histories only ever tighten toward the unloaded-host
     * walls. `confirmed` records the converged (tN, t4N) once reached.
+    * `fp` stamps the build the histories were measured on; a state whose
+    * fingerprint differs from the running build is archived, never merged.
     */
   final case class QuietState(turns: Long, coresN: Int, ratio: Double,
       histN: List[Double], hist4N: List[Double],
-      confirmed: Option[(Double, Double, Double, String)], ts: String) {
+      confirmed: Option[(Double, Double, Double, String)], ts: String,
+      fp: String = "unknown") {
     def save(p: java.nio.file.Path): Unit = {
       Files.createDirectories(p.getParent)
       def arr(xs: List[Double]) = xs.map(x => f"$x%.2f").mkString("[", ",", "]")
@@ -59,16 +87,30 @@ object Bench {
         f""","confirmed":{"tN":$tN%.2f,"t4N":$t4N%.2f,"eff":$eff%.3f,"ts":"$cts"}"""
       }.getOrElse("")
       Files.writeString(p,
-        f"""{"turns":$turns,"coresN":$coresN,"ratio":$ratio%.2f,"""+
+        f"""{"turns":$turns,"coresN":$coresN,"ratio":$ratio%.2f,"fp":"$fp","""+
         s""""histN":${arr(histN)},"hist4N":${arr(hist4N)},"ts":"$ts"$conf}""")
     }
   }
 
   object QuietState {
-    /** Load iff present and keyed to the same (turns, coresN) workload. */
-    def load(p: java.nio.file.Path, turns: Long, coresN: Int): Option[QuietState] = {
+    /** Load iff present, keyed to the same (turns, coresN) workload AND
+      * stamped with the running build's fingerprint. A state from a
+      * different (or pre-fingerprint) build is ARCHIVED next to the live
+      * file and None is returned — fresh convergence is required.
+      */
+    def load(p: java.nio.file.Path, turns: Long, coresN: Int,
+        expectedFp: String): Option[QuietState] = {
       if (!Files.exists(p)) return None
       val s = Files.readString(p)
+      val fileFp = ("\"fp\"\\s*:\\s*\"([^\"]*)\"").r.findFirstMatchIn(s)
+        .map(_.group(1)).getOrElse("unknown")
+      if (fileFp != expectedFp) {
+        val stale = p.resolveSibling(s"${p.getFileName}.stale-$fileFp")
+        Files.move(p, stale, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        println(s"  quiet-state fingerprint $fileFp != build $expectedFp: " +
+          s"archived to $stale, starting fresh histories")
+        return None
+      }
       def num(k: String): Option[Double] =
         ("\"" + k + "\"\\s*:\\s*([-0-9.]+)").r.findFirstMatchIn(s).map(_.group(1).toDouble)
       def arr(k: String): List[Double] =
@@ -92,7 +134,7 @@ object Bench {
         c <- num("coresN").map(_.toInt) if c == coresN
         ratio <- num("ratio")
         ts <- str("ts")
-      } yield QuietState(t, c, ratio, arr("histN"), arr("hist4N"), confirmed, ts)
+      } yield QuietState(t, c, ratio, arr("histN"), arr("hist4N"), confirmed, ts, fileFp)
     }
   }
 
@@ -334,7 +376,9 @@ object Bench {
     val statePath =
       if (scaleN == 2 && benchTurns == 2000000L) Paths.get("BENCH/quiet_state.json")
       else Paths.get(s"BENCH/quiet_state_c${scaleN}_t$benchTurns.json")
-    val priorState: Option[QuietState] = QuietState.load(statePath, benchTurns, scaleN)
+    val buildFp = buildFingerprint()
+    val priorState: Option[QuietState] =
+      QuietState.load(statePath, benchTurns, scaleN, buildFp)
     // Storms last 30-120 min; without a persisted quiet result the run must
     // be prepared to outwait one, with it a moderate fresh attempt suffices.
     val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET",
@@ -463,7 +507,7 @@ object Bench {
         val (cn, c4) = (mergedN.min, merged4N.min)
         val ce = cn / (4.0 * c4)
         QuietState(benchTurns, scaleN, thisRatio, mergedN, merged4N,
-          Some((cn, c4, ce, nowIso)), nowIso).save(statePath)
+          Some((cn, c4, ce, nowIso)), nowIso, buildFp).save(statePath)
         (cn, c4, ce, thisRatio,
           s"converged-quiet(historyN=${mergedN.size},history4N=${merged4N.size} quiet samples incl. prior runs)")
       } else {
@@ -471,7 +515,7 @@ object Bench {
         // keeps accumulating, then pick the best available evidence
         if (mergedN.nonEmpty || merged4N.nonEmpty)
           QuietState(benchTurns, scaleN, thisRatio, mergedN, merged4N,
-            priorConfirmed, nowIso).save(statePath)
+            priorConfirmed, nowIso, buildFp).save(statePath)
         priorConfirmed match {
           // STALE-confirmed guard: if the histories have since seen a
           // meaningfully lower wall on either level, the old convergence
@@ -524,7 +568,7 @@ object Bench {
       f""""encode":{"turns":$benchTurns,"coresN":$scaleN,"tN":$t8%.2f,"t4N":$t32%.2f,"turnsPerSecN":$r8%.0f,"""+
       f""""turnsPerSec4N":$r32%.0f,"scalingEfficiency":$eff%.3f,"medianPairEff":$medianPairEff%.3f,"""+
       f""""compressionRatio":$ratio%.2f,"concurrentPairs":$concurrent,"""+
-      s""""scalingEvidence":"$evidence",""" +
+      s""""scalingEvidence":"$evidence","buildFingerprint":"$buildFp",""" +
       f""""scalingEfficiencyThisRun":$thisEff%.3f,"tNThisRun":$thisTN%.2f,"t4NThisRun":$thisT4N%.2f,"""+
       s""""quietTrialsN":$quietCountN,"quietTrials4N":$quietCount4N,"""+
       s""""quietFloorsMs":{"mem":$minMem,"alu":$minAlu},"""+
@@ -567,7 +611,10 @@ object Bench {
            f"pair eff this session $medianPairEff%.3f)"}.
          |
          |**Scaling evidence of record: $evidence** — this run measured
-         |tN=$thisTN%.2fs t4N=$thisT4N%.2fs eff=$thisEff%.3f.${
+         |tN=$thisTN%.2fs t4N=$thisT4N%.2fs eff=$thisEff%.3f. Quiet-state
+         |histories are keyed to build fingerprint `$buildFp` (hash of
+         |src/main); a state from any other build is archived unread, so a
+         |regressed build can never inherit a faster build's number.${
            if (queriesCarried)
              "\n**Query rows carried over from the previous run** (scaling-only invocation)."
            else ""}
