@@ -416,6 +416,49 @@ class FileSpec extends AnyFunSuite {
     assert(sizes2.max >= 1024, s"narrow rows should ramp up, max=${sizes2.max}")
   }
 
+  test("date/double/decimal stats pruning at row-group level; NaN group never prunes") {
+    val n = 8000
+    val schema = TStruct(Seq("dt" -> TDate, "x" -> TDouble, "dec" -> TDecimal(12, 2)))
+    def table(xs: Int => Double): ColVec = {
+      val v = new ColVec(n)
+      val dt = new ColVec(n); dt.longs = Array.tabulate(n)(i => 18000L + i / 10)
+      val x = new ColVec(n); x.doubles = Array.tabulate(n)(xs)
+      val dec = new ColVec(n); dec.longs = Array.tabulate(n)(i => i.toLong) // scale 2
+      v.children = Array(dt, x, dec)
+      v
+    }
+    // monotone columns, 8 row groups of 1000: each group spans a tight range
+    val (bytes, _) = roundtrip(schema, Seq(table(i => i / 4.0)), CompressionKind.ZLIB,
+      WriterOpts(rowGroupMaxRowCount = 1000))
+    def decoded(bs: Array[Byte], pred: ColPredicate): Long = {
+      val rd = MothFileReader.fromBytes(bs)
+      rd.batches(predicate = StatsPredicate(Seq(pred))).map(_.len.toLong).sum
+    }
+    // DATE day bounds: days run 18000..18799, group g covers 18000+[100g,100g+99]
+    assert(decoded(bytes, LongRangePred("dt", Some(18750L), None)) == 1000,
+      "date lower bound must decode only the last group")
+    assert(decoded(bytes, LongRangePred("dt", None, Some(17999L))) == 0)
+    assert(decoded(bytes, LongEqPred("dt", 18005L)) == 1000)
+    // DOUBLE bounds: x runs 0..1999.75, group g covers [250g, 250g+249.75]
+    assert(decoded(bytes, DoubleRangePred("x", Some((1750.0, false)), None)) == 1000)
+    assert(decoded(bytes, DoubleRangePred("x", None, Some((-1.0, true)))) == 0)
+    // exclusive vs inclusive on an exact group boundary value (249.75 is
+    // group 0's max): > max prunes the group, >= max keeps it
+    assert(decoded(bytes, DoubleRangePred("x", Some((1999.75, false)), None)) == 0)
+    assert(decoded(bytes, DoubleRangePred("x", Some((1999.75, true)), None)) == 1000)
+    // DECIMAL bounds: values 0.00..79.99, group g covers [10g, 10g+9.99]
+    assert(decoded(bytes, DecimalRangePred("dec", Some((BigDecimal("69.99"), false)), None)) == 1000)
+    assert(decoded(bytes, DecimalRangePred("dec", None, Some((BigDecimal("-0.01"), true)))) == 0)
+    // NaN discipline: group 1 holds a NaN, everything else is 0.0 — a bound
+    // that refutes 0.0 must still decode the NaN group (NaN sorts above all
+    // values in Spark, so it matches x > 100), and nothing else
+    val (nanBytes, _) = roundtrip(schema,
+      Seq(table(i => if (i == 1500) Double.NaN else 0.0)), CompressionKind.ZLIB,
+      WriterOpts(rowGroupMaxRowCount = 1000))
+    assert(decoded(nanBytes, DoubleRangePred("x", Some((100.0, true)), None)) == 1000,
+      "the NaN-bearing group must never be pruned")
+  }
+
   test("DiskRanges.merge coalesces within distance, respects read-size cap") {
     // adjacent + small gap merge
     assert(DiskRanges.merge(Seq((0L, 10L), (10L, 10L), (25L, 5L)), 5L, 1000L) ==
