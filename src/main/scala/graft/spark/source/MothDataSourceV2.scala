@@ -105,6 +105,22 @@ object MothTable {
     finally rd.close()
   }
 
+  /** The sort tag all files agree on, if any (columns of
+    * [[graft.spark.MothSpark.SortedByKey]]). Cheap negative probe: the
+    * first cached tail decides; agreement is verified across all files.
+    */
+  def commonSortTag(path: String): Option[Seq[String]] = {
+    val files = listFiles(path)
+    def tag(f: String): Option[Seq[String]] = {
+      val rd = MothFileReader.fromPathCached(f)
+      try rd.userMetadata.get(graft.spark.MothSpark.SortedByKey)
+        .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      finally rd.close()
+    }
+    tag(files.head).filter(cols =>
+      cols.nonEmpty && files.tail.forall(f => tag(f).contains(cols)))
+  }
+
   /** Driver-side per-file planning parallelism: footer reads are IO-bound
     * and independent — a 100k-file table must not plan serially.
     */
@@ -302,7 +318,8 @@ class MothScanBuilder(path: String, fullSchema: StructType,
     streamOpts: MothStreamOpts = MothStreamOpts(),
     readerOpts: graft.core.file.ReaderOpts = graft.core.file.ReaderOpts())
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates with SupportsPushDownLimit {
+    with SupportsPushDownAggregates with SupportsPushDownLimit
+    with SupportsPushDownTopN {
 
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
@@ -321,6 +338,40 @@ class MothScanBuilder(path: String, fullSchema: StructType,
   override def pushLimit(n: Int): Boolean =
     if (pushed.nonEmpty) false
     else { limit = Some(n); true }
+
+  private var topN: Option[Int] = None
+
+  // both limit and topN pushdowns are PARTIAL: Spark keeps its own
+  // Limit/TakeOrderedAndProject over the candidate rows the scan returns
+  override def isPartiallyPushed(): Boolean = true
+
+  /** `orderBy(keys).limit(n)` over a table whose files carry a VERIFIED
+    * sort tag matching the requested order (ascending, nulls first, a
+    * prefix of the tag): each file is sorted on those keys, so its first
+    * n rows contain its global-top-n candidates — the scan plans only the
+    * leading stripes covering n rows PER FILE instead of a full wave.
+    * Partial pushdown: Spark's TakeOrderedAndProject still does the final
+    * merge-sort+limit over the candidate set.
+    */
+  override def pushTopN(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      n: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{NamedReference, NullOrdering, SortDirection}
+    if (pushed.nonEmpty || orders.isEmpty) return false
+    val ok = MothTable.commonSortTag(path).exists { cols =>
+      orders.length <= cols.length && orders.zip(cols).forall { case (o, c) =>
+        o.expression match {
+          case nr: NamedReference =>
+            nr.fieldNames.length == 1 && nr.fieldNames.head == c &&
+              o.direction == SortDirection.ASCENDING &&
+              o.nullOrdering == NullOrdering.NULLS_FIRST
+          case _ => false
+        }
+      }
+    }
+    if (ok) topN = Some(n)
+    ok
+  }
 
   /** COUNT(*) / COUNT(col) / MIN / MAX answered from file footers — zero
     * data bytes scanned. Only COMPLETE pushdown (one exact row), only when
@@ -491,7 +542,8 @@ class MothScanBuilder(path: String, fullSchema: StructType,
       new MothScan(path, required,
         StatsPredicate(pushed.flatMap(f => MothFilters.toPreds(fullSchema, f)).toSeq),
         maxPartitionBytes, streamOpts, readerOpts,
-        limit = if (pushed.isEmpty) limit else None)
+        limit = if (pushed.isEmpty) limit else None,
+        topN = if (pushed.isEmpty) topN else None)
   }
 }
 
@@ -717,7 +769,7 @@ class MothScan(path: String, required: StructType, predicate: StatsPredicate,
     maxPartitionBytes: Long = 128L << 20,
     streamOpts: MothStreamOpts = MothStreamOpts(),
     readerOpts: graft.core.file.ReaderOpts = graft.core.file.ReaderOpts(),
-    limit: Option[Int] = None)
+    limit: Option[Int] = None, topN: Option[Int] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering with SupportsReportOrdering {
 
@@ -736,21 +788,13 @@ class MothScan(path: String, required: StructType, predicate: StatsPredicate,
   private lazy val reportedOrdering
       : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
     import org.apache.spark.sql.connector.expressions.{Expressions, NullOrdering, SortDirection}
-    val files = MothTable.listFiles(path)
-    def tag(f: String): Option[Seq[String]] = {
-      val rd = MothFileReader.fromPathCached(f)
-      try rd.userMetadata.get(graft.spark.MothSpark.SortedByKey)
-        .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
-      finally rd.close()
-    }
-    tag(files.head) match {
-      case Some(cols) if cols.nonEmpty &&
-          files.tail.forall(f => tag(f).contains(cols)) =>
+    MothTable.commonSortTag(path) match {
+      case Some(cols) =>
         cols.takeWhile(c => required.fieldNames.contains(c))
           .map(c => Expressions.sort(Expressions.column(c),
             SortDirection.ASCENDING, NullOrdering.NULLS_FIRST))
           .toArray
-      case _ => Array.empty
+      case None => Array.empty
     }
   }
 
@@ -823,9 +867,39 @@ class MothScan(path: String, required: StructType, predicate: StatsPredicate,
     out.toArray
   }
 
+  /** Top-N over the verified sort order: each file's FIRST stripes covering
+    * n rows hold its top-n candidates (files are sorted on the requested
+    * keys), so the candidate wave is |files| small leading reads instead of
+    * the whole table. Spark's final sort+limit merges them.
+    */
+  private def planTopNPartitions(n: Int): Array[InputPartition] =
+    MothTable.parFiles(path).flatMap { f =>
+      val rd = MothFileReader.fromPathCached(f)
+      try {
+        val stripes = rd.footer.stripes
+        if (stripes.isEmpty) Seq(MothInputPartition(f, 0L, Long.MaxValue))
+        else {
+          val out = scala.collection.mutable.ArrayBuffer[MothInputPartition]()
+          var acc = 0L
+          val it = stripes.iterator
+          while (acc < n && it.hasNext) {
+            val s = it.next()
+            val len = s.indexLength + s.dataLength + s.footerLength
+            out += MothInputPartition(f, s.offset, s.offset + len)
+            acc += s.numberOfRows
+          }
+          out.toSeq
+        }
+      } finally rd.close()
+    }.toArray
+
   override def planInputPartitions(): Array[InputPartition] = {
     val targetBytes = maxPartitionBytes
     val pred = effectivePredicate
+    topN match {
+      case Some(n) if pred.preds.isEmpty => return planTopNPartitions(n)
+      case _ =>
+    }
     limit match {
       case Some(n) if pred.preds.isEmpty => return planLimited(n)
       case _ =>

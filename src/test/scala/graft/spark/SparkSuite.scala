@@ -911,6 +911,45 @@ class SparkSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(seen.asScala.toSeq.sorted == (0L until 1000L))
   }
 
+  test("topN pushdown: orderBy(sortKey).limit over tagged files plans leading stripes only") {
+    import graft.spark.source.{MothScan, MothScanBuilder}
+    import org.apache.spark.sql.connector.expressions.{Expressions, NullOrdering, SortDirection}
+    val d = tmpDir() + "/topn"
+    // 3 sorted+tagged files, several small stripes each
+    val df = TranscriptGen.transcripts(spark, 30000, seed = 11)
+    MothSpark.writeFiles(
+      df.repartition(3, col("conv_id")).sortWithinPartitions("conv_id", "turn_idx"),
+      d, "topn", CompressionKind.ZLIB,
+      WriterOpts(stripeMinBytes = 1 << 16, stripeMaxBytes = 1 << 17),
+      Seq("conv_id", "turn_idx"))
+    val schema = spark.read.format("moth").load(d).schema
+    def order(c: String) = Expressions.sort(Expressions.column(c),
+      SortDirection.ASCENDING, NullOrdering.NULLS_FIRST)
+    // ascending prefix of the verified tag: accepted, plans only each
+    // file's LEADING stripe — a small fraction of the table's bytes
+    val b1 = new MothScanBuilder(d, schema)
+    assert(b1.pushTopN(Array(order("conv_id")), 10))
+    val parts = b1.build().asInstanceOf[MothScan].planInputPartitions()
+      .map(_.asInstanceOf[graft.spark.source.MothInputPartition])
+    assert(parts.length == 3, s"one leading stripe per file, got ${parts.length}")
+    val spanned = parts.map(p => p.end - p.start).sum
+    val totalBytes = new java.io.File(d).listFiles((_, n) => n.endsWith(".moth"))
+      .map(_.length).sum
+    assert(spanned < totalBytes / 3,
+      s"topN should cover a fraction of the table: $spanned of $totalBytes bytes")
+    // non-prefix / descending / untagged: refused
+    val b2 = new MothScanBuilder(d, schema)
+    assert(!b2.pushTopN(Array(order("turn_idx")), 10), "non-prefix order must refuse")
+    val b3 = new MothScanBuilder(d, schema)
+    assert(!b3.pushTopN(Array(Expressions.sort(Expressions.column("conv_id"),
+      SortDirection.DESCENDING, NullOrdering.NULLS_LAST)), 10))
+    // end-to-end: Catalyst drives the pushdown and the result is exact
+    val moth = spark.read.format("moth").load(d)
+    val got = moth.orderBy("conv_id", "turn_idx").limit(7).collect().toSeq
+    val expect = df.orderBy("conv_id", "turn_idx").limit(7).collect().toSeq
+    assert(got == expect, "topN result must equal the full sort+limit")
+  }
+
   test("columnar scan: vectorized batches equal row decode, incl. nested types") {
     val s = spark
     import s.implicits._
