@@ -66,6 +66,13 @@ object BenchChild {
     val turns = turnsS.toLong
     val parts = partsS.toInt
     val mode = sys.env.getOrElse("SPARK_GRAFT_MODE", "range")
+    // Staged-table input (the north rule's job shape: encode an EXISTING
+    // table, not a generator): the parent stages the transcripts as a
+    // parquet table once (untimed input preparation), every trial's timed
+    // section is then scan+shuffle+sort+encode+write. Fallback to inline
+    // generation when run standalone.
+    val input = sys.env.get("SPARK_GRAFT_INPUT")
+    val warmInput = sys.env.get("SPARK_GRAFT_WARM_INPUT")
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(s"graft-bench-child-$cpus")
@@ -73,6 +80,12 @@ object BenchChild {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.io.compression.codec",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_CODEC", "lz4"))
+      // one staged parquet file = one scan partition at EVERY parallelism
+      // level (files are ~25-40MB; the 64MB open cost stops bin-packing and
+      // the 64MB ceiling stops sub-file splitting) — scan parallelism is
+      // data-sized and identical between the N and 4N runs
+      .config("spark.sql.files.maxPartitionBytes", (64L << 20).toString)
+      .config("spark.sql.files.openCostInBytes", (64L << 20).toString)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.spark.GraftExtensions")
     sys.env.getOrElse("SPARK_GRAFT_EXTRA_CONF", "").split(',').filter(_.contains('='))
@@ -97,11 +110,18 @@ object BenchChild {
       val calib1 = calibrate()
       // warmup sized so every task thread runs enough encode iterations for
       // C2 compilation before the timed section (at 4N threads a tenth of
-      // the input spreads too thin)
-      graft.spark.EncodeJob.run(spark, Map(
-        "out" -> s"$outDir-warmup", "turns" -> math.max(turns / 5, 100000L).toString,
-        "partitions" -> parts.toString, "codec" -> "zlib", "seed" -> "7",
-        "partitioning" -> mode))
+      // the input spreads too thin); with staged input the warmup reads its
+      // own smaller staged table so the parquet-scan path warms up too
+      graft.spark.EncodeJob.run(spark, warmInput match {
+        case Some(w) => Map(
+          "out" -> s"$outDir-warmup", "input" -> w,
+          "partitions" -> parts.toString, "codec" -> "zlib",
+          "partitioning" -> mode)
+        case None => Map(
+          "out" -> s"$outDir-warmup", "turns" -> math.max(turns / 5, 100000L).toString,
+          "partitions" -> parts.toString, "codec" -> "zlib", "seed" -> "7",
+          "partitioning" -> mode)
+      })
       System.gc()
       // concurrent-pair mode: rendezvous so both children's timed sections
       // start together (same host-noise window on disjoint pinned cores)
@@ -113,10 +133,16 @@ object BenchChild {
           Thread.sleep(50)
       }
       val t0 = System.nanoTime()
-      val summary = graft.spark.EncodeJob.run(spark, Map(
-        "out" -> outDir, "turns" -> turns.toString,
-        "partitions" -> parts.toString, "codec" -> "zlib",
-        "partitioning" -> mode))
+      val summary = graft.spark.EncodeJob.run(spark, input match {
+        case Some(in) => Map(
+          "out" -> outDir, "input" -> in,
+          "partitions" -> parts.toString, "codec" -> "zlib",
+          "partitioning" -> mode)
+        case None => Map(
+          "out" -> outDir, "turns" -> turns.toString,
+          "partitions" -> parts.toString, "codec" -> "zlib",
+          "partitioning" -> mode)
+      })
       val secs = (System.nanoTime() - t0) / 1e9
       val calib = math.max(calib1, calibrate())
       def grab(k: String): Long = {
