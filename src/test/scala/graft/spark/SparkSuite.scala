@@ -1032,6 +1032,34 @@ class SparkSuite extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("staged-table input: encode job over parquet equals generate-inline (bench path)") {
+    // the bench stages the transcripts as a parquet table and times the
+    // encode job over it (SPARK_GRAFT_INPUT); the staged path must encode
+    // exactly the same logical data as generate-inline
+    val staged = tmpDir()
+    TranscriptGen.transcripts(spark, 20000, partitions = 4)
+      .write.mode("overwrite").parquet(staged)
+    val (dInline, dStaged) = (tmpDir(), tmpDir())
+    EncodeJob.run(spark, Map("out" -> dInline, "turns" -> "20000",
+      "partitions" -> "4", "partitioning" -> "hash"))
+    EncodeJob.run(spark, Map("out" -> dStaged, "input" -> staged,
+      "partitions" -> "4", "partitioning" -> "hash"))
+    val cols = Seq("conv_id", "turn_idx", "role", "text", "tool", "ts").map(col)
+    val a = MothSpark.readFiles(spark, dInline)
+      .orderBy("conv_id", "turn_idx").select(cols: _*).collect()
+    val b = MothSpark.readFiles(spark, dStaged)
+      .orderBy("conv_id", "turn_idx").select(cols: _*).collect()
+    assert(a.nonEmpty && a.length == b.length)
+    a.zip(b).foreach { case (x, y) => assert(x == y, s"row differs: $x vs $y") }
+    // both carry the verified sort tag (scan reports ordering either way)
+    for (d <- Seq(dInline, dStaged)) {
+      val f = new java.io.File(d).listFiles().filter(_.getName.endsWith(".moth")).head
+      val rd = graft.core.file.MothFileReader.fromPath(f.getAbsolutePath)
+      assert(rd.userMetadata.get(MothSpark.SortedByKey).contains("conv_id,turn_idx"))
+      rd.close()
+    }
+  }
+
   test("resume: killed partitions are regenerated byte-identically, others skipped") {
     val d = tmpDir()
     val args = Map("out" -> d, "turns" -> "20000", "partitions" -> "4",
