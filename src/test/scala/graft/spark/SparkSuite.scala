@@ -1032,6 +1032,30 @@ class SparkSuite extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("isin beyond the pushdown cap stays correct (residual filter, no pruning)") {
+    val d = tmpDir()
+    EncodeJob.run(spark, Map("out" -> d, "turns" -> "20000", "partitions" -> "2"))
+    val moth = spark.read.format("moth").load(d)
+    val direct = MothSpark.readFiles(spark, d)
+    // beyond MaxInListPushdown (256) conversion yields no predicate: the
+    // filter must still be answered exactly by Spark's residual evaluation
+    val big = (0 until 300).map(i => f"conv-${i * 7}%012d")
+    assert(moth.filter(col("conv_id").isin(big: _*)).count() ==
+      direct.filter(col("conv_id").isin(big: _*)).count())
+    // within the cap the bloom-tested disjunction prunes and stays exact
+    val small = (0 until 16).map(i => f"conv-${i * 7}%012d")
+    assert(moth.filter(col("conv_id").isin(small: _*)).count() ==
+      direct.filter(col("conv_id").isin(small: _*)).count())
+  }
+
+  test("listMothOrEmpty: absent dir is empty, malformed path fails loudly") {
+    import graft.spark.source.MothTable
+    assert(MothTable.listMothOrEmpty(tmpDir() + "/does-not-exist").isEmpty)
+    intercept[IllegalArgumentException] {
+      MothTable.listMothOrEmpty("::not a uri::")
+    }
+  }
+
   test("staged-table input: encode job over parquet equals generate-inline (bench path)") {
     // the bench stages the transcripts as a parquet table and times the
     // encode job over it (SPARK_GRAFT_INPUT); the staged path must encode
