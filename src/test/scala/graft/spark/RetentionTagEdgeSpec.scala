@@ -169,6 +169,63 @@ class RetentionTagEdgeSpec extends AnyFunSuite with BeforeAndAfterAll {
       "a refutable runtime key set must prune at planning time")
   }
 
+  test("a runtime filter disables a pushed limit's capped plan") {
+    val s = spark
+    import s.implicits._
+    val d = tmpDir() + "/limrf"
+    (0L until 3000L).map(i => (i, s"v$i")).toDF("k", "v")
+      .repartition(3).write.format("moth").mode("append").save(d)
+    val schema = spark.read.format("moth").load(d).schema
+    val b = new MothScanBuilder(d, schema)
+    assert(b.pushLimit(5))
+    val scan = b.build().asInstanceOf[MothScan]
+    assert(scan.planInputPartitions().length == 1,
+      "pushed limit alone plans a single covering split")
+    // a runtime key set arriving later makes footer row counts
+    // non-authoritative: the capped plan must be abandoned...
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("k", Array[Any](java.lang.Long.valueOf(2999L)))))
+    val planned = scan.planInputPartitions()
+    assert(planned.length >= 1,
+      "the split holding the key must survive")
+    // ...and a REFUTING key set prunes everything instead of keeping the
+    // limit's first-stripe split alive
+    val b2 = new MothScanBuilder(d, schema)
+    assert(b2.pushLimit(5))
+    val scan2 = b2.build().asInstanceOf[MothScan]
+    scan2.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("k", Array[Any](java.lang.Long.valueOf(-7L)))))
+    assert(scan2.planInputPartitions().isEmpty,
+      "a refuting runtime filter must prune every split, limit or not")
+  }
+
+  test("planning-time pruning holds at a many-file table: only matching files become tasks") {
+    val s = spark
+    import s.implicits._
+    val d = tmpDir() + "/many"
+    // ~64 files with DISJOINT key ranges (file-level stats can only refute
+    // a window when the per-file envelopes don't interleave)
+    (0L until 64000L).map(i => (i, i / 1000L)).toDF("k", "bucket")
+      .repartitionByRange(64, col("k"))
+      .sortWithinPartitions("k")
+      .write.format("moth").mode("append").save(d)
+    val files = new java.io.File(d).listFiles((_, n) => n.endsWith(".moth"))
+    assert(files.length >= 32, s"expected ~64 files, got ${files.length}")
+    val schema = spark.read.format("moth").load(d).schema
+    val b = new MothScanBuilder(d, schema)
+    b.pushFilters(Array(
+      org.apache.spark.sql.sources.GreaterThanOrEqual("k", 10000L),
+      org.apache.spark.sql.sources.LessThan("k", 12000L)))
+    val planned = b.build().asInstanceOf[MothScan].planInputPartitions()
+    assert(planned.nonEmpty && planned.length <= 6,
+      s"a 2k-row key window over 64 range-disjoint files must plan a handful " +
+        s"of tasks, got ${planned.length}")
+    // and the full query over Catalyst is exact
+    val got = spark.read.format("moth").load(d)
+      .filter(col("k") >= 10000L && col("k") < 12000L).agg(sum("k")).as[Long].head()
+    assert(got == (10000L until 12000L).sum)
+  }
+
   test("addUserMetadata after close is rejected") {
     val out = new java.io.ByteArrayOutputStream()
     import graft.core.columns.MothType
