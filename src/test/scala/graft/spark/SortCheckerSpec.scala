@@ -90,6 +90,53 @@ class SortCheckerSpec extends AnyFunSuite {
     assert(!ck.ok)
   }
 
+  test("property: checker agrees with a naive sortedness oracle over random 2-key batch splits") {
+    val rnd = new scala.util.Random(42)
+    def cmpRow(a: (Option[Long], Option[String]), b: (Option[Long], Option[String])): Int = {
+      val k1 = (a._1, b._1) match {
+        case (None, None) => 0
+        case (None, _) => -1
+        case (_, None) => 1
+        case (Some(x), Some(y)) => java.lang.Long.compare(x, y)
+      }
+      if (k1 != 0) k1
+      else (a._2, b._2) match {
+        case (None, None) => 0
+        case (None, _) => -1
+        case (_, None) => 1
+        case (Some(x), Some(y)) =>
+          graft.core.stats.ColStats.compareBytes(x.getBytes("UTF-8"), y.getBytes("UTF-8"))
+      }
+    }
+    var sortedSeen = 0
+    var unsortedSeen = 0
+    for (_ <- 0 until 400) {
+      val n = 1 + rnd.nextInt(30)
+      var rows = Seq.fill(n)((
+        if (rnd.nextInt(6) == 0) None else Some(rnd.nextInt(8).toLong),
+        if (rnd.nextInt(6) == 0) None
+        else Some((0 until rnd.nextInt(3)).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString)))
+      if (rnd.nextBoolean()) rows = rows.sortWith((a, b) => cmpRow(a, b) < 0)
+      val expectSorted = rows.zip(rows.drop(1)).forall { case (a, b) => cmpRow(a, b) <= 0 }
+      // random batch split, including empty batches
+      val ck = new MothSpark.SortChecker(Array(0, 1))
+      var rest = rows
+      while (rest.nonEmpty || rnd.nextInt(4) == 0) {
+        val take = math.min(rest.length, rnd.nextInt(6))
+        val (h, t) = rest.splitAt(take)
+        ck.update(batch(longVec(h.map(_._1.map(java.lang.Long.valueOf).orNull)),
+          strVec(h.map(_._2.orNull))))
+        rest = t
+        if (rest.isEmpty && rnd.nextInt(4) != 0) rest = Nil
+      }
+      assert(ck.ok == expectSorted,
+        s"checker=${ck.ok} oracle=$expectSorted rows=$rows")
+      if (expectSorted) sortedSeen += 1 else unsortedSeen += 1
+    }
+    assert(sortedSeen > 50 && unsortedSeen > 50,
+      s"generator imbalance: sorted=$sortedSeen unsorted=$unsortedSeen")
+  }
+
   test("sortTagEligible: scalar families in, wide decimals and containers out") {
     import org.apache.spark.sql.types._
     assert(MothSpark.sortTagEligible(LongType))
