@@ -944,4 +944,87 @@ class FileSpec extends AnyFunSuite {
         Chunked.DefaultChunkSize)
     }
   }
+
+  test("fuzz: random nested schemas roundtrip across codecs and tiny row groups") {
+    val r = new scala.util.Random(20260818L)
+
+    def randScalar(): MothType = Seq[MothType](
+      TBoolean, TByte, TShort, TInt, TLong, TFloat, TDouble,
+      TDecimal(12, 2), TDecimal(30, 5), TString, TBinary, TDate, TTimestamp
+    )(r.nextInt(13))
+
+    def randType(depth: Int): MothType =
+      if (depth <= 0 || r.nextInt(3) == 0) randScalar()
+      else r.nextInt(3) match {
+        case 0 => TList(randType(depth - 1))
+        case 1 => TMap(randScalar(), randType(depth - 1))
+        case _ => TStruct((1 to 1 + r.nextInt(3)).map(i => s"f$i" -> randType(depth - 1)))
+      }
+
+    // vec for `t` with `n` rows following the writer's layout conventions:
+    // list/map lengths are 0 on null rows, struct children are DENSE over
+    // the parent's non-null rows
+    def randVec(t: MothType, n: Int, nullP: Int): ColVec = {
+      val c = new ColVec(n)
+      if (nullP > 0) {
+        val a = Array.tabulate(n)(_ => r.nextInt(100) < nullP)
+        if (a.exists(identity)) c.nulls = a
+      }
+      t match {
+        case TBoolean => c.longs = Array.tabulate(n)(_ => r.nextInt(2).toLong)
+        case TByte => c.longs = Array.tabulate(n)(_ => (r.nextInt(256) - 128).toLong)
+        case TShort => c.longs = Array.tabulate(n)(_ => (r.nextInt(65536) - 32768).toLong)
+        case TInt => c.longs = Array.tabulate(n)(_ => r.nextInt().toLong)
+        case TLong => c.longs = Array.tabulate(n)(_ => r.nextLong())
+        case TDate => c.longs = Array.tabulate(n)(_ => (15000 + r.nextInt(8000)).toLong)
+        case TTimestamp =>
+          c.longs = Array.tabulate(n)(_ => 1735689600000000L + (r.nextLong() % 50000000000L))
+        case TFloat => c.doubles = Array.tabulate(n)(_ => r.nextFloat().toDouble)
+        case TDouble => c.doubles = Array.tabulate(n)(_ => r.nextDouble() * 1e8 - 5e7)
+        case TDecimal(p, _) if p <= 18 =>
+          c.longs = Array.tabulate(n)(_ => r.nextLong() % 10000000000L)
+        case TDecimal(_, _) =>
+          c.bigs = Array.tabulate(n)(_ => BigInt(r.nextLong()) * BigInt(1 + r.nextInt(100000)))
+        case TString =>
+          val w = Array("ra", "rho", "sigma", "tau", "", "omega-long-tail-value")
+          c.bins = Array.tabulate(n)(_ => (w(r.nextInt(w.length)) * (1 + r.nextInt(2))).getBytes("UTF-8"))
+        case TBinary =>
+          c.bins = Array.tabulate(n)(_ => Array.fill(r.nextInt(12))(r.nextInt(256).toByte))
+        case l: TList =>
+          c.lengths = Array.tabulate(n)(i => if (c.isNull(i)) 0 else r.nextInt(4))
+          val total = (0 until n).map(c.lengths(_)).sum
+          c.children = Array(randVec(l.elem, total, if (r.nextBoolean()) 10 else 0))
+        case m: TMap =>
+          c.lengths = Array.tabulate(n)(i => if (c.isNull(i)) 0 else r.nextInt(3))
+          val total = (0 until n).map(c.lengths(_)).sum
+          c.children = Array(randVec(m.key, total, 0), randVec(m.value, total, 10))
+        case s: TStruct =>
+          val dense = (0 until n).count(i => !c.isNull(i))
+          c.children = s.fields.map { case (_, ft) =>
+            randVec(ft, dense, if (r.nextBoolean()) 10 else 0)
+          }.toArray
+        case other => fail(s"generator does not emit $other")
+      }
+      c
+    }
+
+    for (round <- 0 until 25) {
+      val schema = TStruct((1 to 1 + r.nextInt(4)).map(i => s"c$i" -> randType(2)))
+      val n = 200 + r.nextInt(600)
+      val v = randVec(schema, n, 0) // top-level rows are never null (nullP=0)
+      val kind = Seq(CompressionKind.NONE, CompressionKind.ZLIB, CompressionKind.SNAPPY,
+        CompressionKind.LZ4, CompressionKind.ZSTD)(round % 5)
+      val opts =
+        if (r.nextBoolean()) WriterOpts(rowGroupMaxRowCount = 64, stripeMaxRowCount = 256,
+          stripeMinBytes = 0)
+        else WriterOpts()
+      try {
+        val (_, out) = roundtrip(schema, Seq(v), kind, opts)
+        fullCompare(schema, Seq(v), out)
+      } catch {
+        case e: Throwable =>
+          fail(s"fuzz round $round failed for schema $schema (n=$n, $kind): ${e.getMessage}")
+      }
+    }
+  }
 }
