@@ -75,4 +75,43 @@ class MothParquetDifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(nonEmpty >= 8, s"predicates matched rows in only $nonEmpty/24 rounds")
     info(s"$nonEmpty/24 rounds returned rows; all agreed")
   }
+
+  test("events (timestamps) and documents (dictionary text) agree under random predicates") {
+    val rnd = new scala.util.Random(9L)
+    def differential(name: String, preds: () => Column, rounds: Int): Int = {
+      val pq = s"/root/testdata/sf0.001/$name.parquet"
+      val md = java.nio.file.Files.createTempDirectory("graft-diff2").toString + s"/$name"
+      spark.read.parquet(pq).repartition(2).write.format("moth").mode("append").save(md)
+      var nonEmpty = 0
+      for (round <- 0 until rounds) {
+        var p = preds()
+        if (rnd.nextBoolean()) p = if (rnd.nextBoolean()) p && preds() else p || preds()
+        def run(df: org.apache.spark.sql.DataFrame): Seq[String] =
+          df.filter(p).collect().map(_.mkString("|")).toSeq.sorted
+        val m = run(spark.read.format("moth").load(md))
+        val q = run(spark.read.parquet(pq))
+        assert(m == q, s"$name round $round diverged under $p " +
+          s"(moth=${m.size}, parquet=${q.size})")
+        if (m.nonEmpty) nonEmpty += 1
+      }
+      nonEmpty
+    }
+    val types = Array("click", "view", "purchase", "scroll", "absent")
+    val e = differential("events", () => rnd.nextInt(4) match {
+      case 0 => col("ts") >= lit(s"2024-0${1 + rnd.nextInt(9)}-15 0${rnd.nextInt(10)}:00:00")
+        .cast("timestamp")
+      case 1 => col("event_type") === types(rnd.nextInt(types.length))
+      case 2 => col("value") < (rnd.nextDouble() * 100.0)
+      case _ => col("user_id") % 7 === rnd.nextInt(7)
+    }, 16)
+    val langs = Array("en", "de", "fr", "xx")
+    val d = differential("documents", () => rnd.nextInt(4) match {
+      case 0 => col("lang") === langs(rnd.nextInt(langs.length))
+      case 1 => col("n_chars") > (rnd.nextInt(2000) + 100)
+      case 2 => col("text").startsWith("the")
+      case _ => col("source") >= "s"
+    }, 16)
+    assert(e >= 5 && d >= 5, s"too few non-empty rounds: events=$e docs=$d")
+    info(s"non-empty rounds: events=$e/16 documents=$d/16; all agreed")
+  }
 }
