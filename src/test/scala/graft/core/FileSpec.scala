@@ -945,6 +945,45 @@ class FileSpec extends AnyFunSuite {
     }
   }
 
+  test("huge single values: multi-chunk strings beyond the batch byte cap roundtrip") {
+    // a 20MB value spans ~80 compression chunks and alone exceeds the
+    // reader's 16MB decoded-bytes batch cap — the adaptive sizing must
+    // degrade to 1-row batches, not truncate or blow up
+    val r = new scala.util.Random(5L)
+    val big1 = Array.fill(20 << 20)((r.nextInt(26) + 'a').toByte) // compressible-ish
+    val big2 = Array.fill(17 << 20)(r.nextInt(256).toByte) // incompressible
+    val schema = TStruct(Seq("id" -> TLong, "blob" -> TBinary))
+    val n = 6
+    val v = new ColVec(n)
+    val idc = new ColVec(n); idc.longs = Array.tabulate(n)(_.toLong)
+    val bc = new ColVec(n)
+    bc.bins = Array[Array[Byte]](big1, "tiny".getBytes, Array.empty,
+      big2, "x".getBytes, big1.take(1000))
+    bc.nulls = Array(false, false, true, false, false, false)
+    v.children = Array(idc, bc)
+    for (kind <- Seq(CompressionKind.NONE, CompressionKind.ZLIB)) {
+      val (_, out) = roundtrip(schema, Seq(v), kind)
+      assert(out.map(_.len).sum == n)
+      val ids = out.flatMap(b => b.children(0).longs.take(b.len))
+      assert(ids == (0L until n), s"$kind: ids differ")
+      val blobs = out.flatMap { b =>
+        (0 until b.len).map { i =>
+          val c = b.children(1)
+          if (c.isNull(i)) null
+          else if (c.packed != null) java.util.Arrays.copyOfRange(
+            c.packed, c.binOff(i), c.binOff(i) + c.binLen(i))
+          else c.bins(i)
+        }
+      }
+      assert(blobs.length == n)
+      (0 until n).foreach { i =>
+        if (bc.nulls(i)) assert(blobs(i) == null, s"$kind row $i: null lost")
+        else assert(java.util.Arrays.equals(blobs(i), bc.bins(i)),
+          s"$kind row $i: blob bytes differ (${blobs(i).length} vs ${bc.bins(i).length})")
+      }
+    }
+  }
+
   test("fuzz: random nested schemas roundtrip across codecs and tiny row groups") {
     val r = new scala.util.Random(20260818L)
 
