@@ -47,9 +47,22 @@ object Bench {
     * that made the encoder slower would carry the old (better) result
     * forever, because slower builds never produce the lower walls that
     * would invalidate it.
+    *
+    * KNOWN LIMIT: this hashes the source tree, not the running class files
+    * (sbt builds into class directories whose bytes are not stable across
+    * recompiles, so the source is the only reproducible identity). Running
+    * the bench with sources edited but not recompiled mis-keys — `sbt
+    * runMain` recompiles first, which is the supported invocation.
     */
   def buildFingerprint(root: java.nio.file.Path = Paths.get("src/main")): String = {
-    if (!Files.exists(root)) return "unknown"
+    // FAIL LOUDLY when the source root is absent (bench launched from a
+    // foreign CWD): silently returning a sentinel would key two different
+    // builds to the same quiet-state history — exactly the cross-build
+    // inheritance the fingerprint exists to prevent.
+    require(Files.exists(root),
+      s"bench requires the engine source at $root (run from the repo root): " +
+        "quiet-state histories are keyed to a fingerprint of the build, and " +
+        "an unidentifiable build must not load or save keyed state")
     val md = java.security.MessageDigest.getInstance("SHA-256")
     val walk = Files.walk(root)
     try {

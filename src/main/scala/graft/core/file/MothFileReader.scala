@@ -120,18 +120,26 @@ final case class OrPred(alternatives: Seq[ColPredicate]) extends ColPredicate
 final case class AndPred(preds: Seq[ColPredicate]) extends ColPredicate
 
 final case class StatsPredicate(preds: Seq[ColPredicate]) {
+  /** @param trustDoubleStats false for files written before writer version 2:
+    *   their DoubleStatsBuilder silently excluded NaN from min/max (NaN
+    *   comparisons are false), so a group holding [1.0, 2.0, NaN] reports
+    *   max=2.0 and a filter like `col > 5.0` (true for NaN in Spark's
+    *   ordering) would wrongly prune the group. Untrusted double stats
+    *   simply never refute — sound inside And/Or composition.
+    */
   def matches(colIdOf: String => Option[Int], stats: Int => Option[ColStats],
-      bloom: Int => Option[BloomFilter]): Boolean =
-    preds.forall(eval(_, colIdOf, stats, bloom))
+      bloom: Int => Option[BloomFilter], trustDoubleStats: Boolean = true): Boolean =
+    preds.forall(eval(_, colIdOf, stats, bloom, trustDoubleStats))
 
   /** "Could this unit contain a matching row?" — missing columns or missing
     * stats answer true (pruning must be conservative).
     */
   private def eval(p: ColPredicate, colIdOf: String => Option[Int],
-      stats: Int => Option[ColStats], bloom: Int => Option[BloomFilter]): Boolean =
+      stats: Int => Option[ColStats], bloom: Int => Option[BloomFilter],
+      trustDouble: Boolean): Boolean =
     p match {
-      case AndPred(ps) => ps.forall(eval(_, colIdOf, stats, bloom))
-      case OrPred(ps) => ps.exists(eval(_, colIdOf, stats, bloom))
+      case AndPred(ps) => ps.forall(eval(_, colIdOf, stats, bloom, trustDouble))
+      case OrPred(ps) => ps.exists(eval(_, colIdOf, stats, bloom, trustDouble))
       case leaf: LeafPred =>
         colIdOf(leaf.columnName).forall { col =>
           val s = stats(col)
@@ -154,7 +162,7 @@ final case class StatsPredicate(preds: Seq[ColPredicate]) {
                   st.dateStats.forall { case (minD, maxD) => v >= minD && v <= maxD }) &&
                 bloom(col).forall(_.testLong(v))
             case DoubleRangePred(_, lower, upper) =>
-              s.forall(_.doubleStats.forall { ds =>
+              !trustDouble || s.forall(_.doubleStats.forall { ds =>
                 lower.forall { case (v, incl) => if (incl) ds.max >= v else ds.max > v } &&
                   upper.forall { case (v, incl) => if (incl) ds.min <= v else ds.min < v }
               })
@@ -224,6 +232,15 @@ final class MothFileReader(src: ByteSource, opts: ReaderOpts = ReaderOpts(),
   def userMetadata: Map[String, String] =
     footer.userMetadata.map { case (k, v) => k -> new String(v, "UTF-8") }
 
+  /** Engine writer version recorded in the footer (1 when absent). Version 2
+    * is the first whose double stats are NaN-sound (DoubleStatsBuilder drops
+    * min/max on NaN); double-range pruning is only applied at >= 2.
+    */
+  lazy val writerVersion: Int =
+    userMetadata.get("graft.writer.version").flatMap(_.toIntOption).getOrElse(1)
+  /** Whether stats-based pruning may trust this file's double min/max. */
+  def trustDoubleStats: Boolean = writerVersion >= 2
+
   /** Column ids of a top-level field subtree, for projection. */
   private lazy val fieldColumnRanges: Seq[(String, Range)] = {
     var next = 1
@@ -264,13 +281,15 @@ final class MothFileReader(src: ByteSource, opts: ReaderOpts = ReaderOpts(),
     val includedIds = MothFileReader.projectedIds(schema, projected, 0)
 
     // file-level stats gate
-    if (!predicate.matches(columnIdOf, c => footer.statistics.lift(c), _ => None))
+    if (!predicate.matches(columnIdOf, c => footer.statistics.lift(c), _ => None,
+        trustDoubleStats))
       return Iterator.empty
 
     footer.stripes.iterator.zipWithIndex.flatMap { case (stripe, si) =>
       val owned = split.forall { case (s, e) => stripe.offset >= s && stripe.offset < e }
       val stripeOk = owned && predicate.matches(columnIdOf,
-        c => stripeStatsPerStripe.lift(si).flatMap(_.lift(c)), _ => None)
+        c => stripeStatsPerStripe.lift(si).flatMap(_.lift(c)), _ => None,
+        trustDoubleStats)
       if (!stripeOk) Iterator.empty
       else readStripe(stripe, projected, includedIds, predicate, batchSize)
     }
@@ -348,7 +367,7 @@ final class MothFileReader(src: ByteSource, opts: ReaderOpts = ReaderOpts(),
         Array.tabulate(nGroups) { g =>
           predicate.matches(columnIdOf,
             c => perColEntries.get(c).flatMap(_.lift(g)).map(_.stats),
-            c => perColBlooms.get(c).flatMap(_.lift(g)))
+            c => perColBlooms.get(c).flatMap(_.lift(g)), trustDoubleStats)
         }
       }
 

@@ -192,7 +192,11 @@ final class MothFileWriter(out: OutputStream, schema: MothType.TStruct,
     val fileStats = (0 until nCols).map { c =>
       ColStats.mergeAll(stripeStatsList.map(_(c)))
     }
-    val userMeta = (opts.userMetadata ++ extraMetadata + ("graft.writer.version" -> "1"))
+    // version 2: DoubleStatsBuilder drops min/max for NaN-bearing groups, so
+    // double-range pruning against these stats is sound. Files reporting
+    // version 1 (or none) may carry NaN-lying double stats (the old builder
+    // silently excluded NaN from min/max) — readers must not double-prune them.
+    val userMeta = (opts.userMetadata ++ extraMetadata + ("graft.writer.version" -> "2"))
       .map { case (k, v) => k -> v.getBytes("UTF-8") }
     val footer = Meta.FooterMsg(Meta.Magic.length.toLong, contentLength,
       stripeInfos.toSeq, Meta.flattenTypes(schema), fileRows, fileStats,

@@ -116,6 +116,10 @@ object TextOps {
     * (band, bucket) → per-bucket pair generation → signature re-join for
     * verification. Buckets are bounded by construction on real corpora;
     * the bucket-size cap guards pathological buckets (all-identical spam).
+    *
+    * EAGER: the returned DataFrame is already materialized (one Spark job
+    * runs inside this call) and non-recomputable — see the localCheckpoint
+    * comment below for why. The same applies to [[simHashPairs]].
     */
   def minHashPairs(spark: SparkSession, docs: DataFrame, threshold: Double = 0.7,
       maxBucket: Int = 64): DataFrame = {
@@ -158,11 +162,18 @@ object TextOps {
         expr(s"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), m -> m)) / cast($MinHashK AS double)"))
       .filter(col("est_jaccard") >= threshold)
       .select("doc_a", "doc_b")
-    // Materialize the (small) verified pair set, then drop the signature
-    // cache: a Dataset-level cache is held by the session's CacheManager
-    // forever, so returning a lazy plan over it would leak the cached
-    // blocks for the session's lifetime in a long-lived pipeline service.
-    // localCheckpoint blocks are reclaimed by the ContextCleaner on GC.
+    // EAGER, NON-RECOMPUTABLE RESULT — a deliberate contract, not an
+    // accident: localCheckpoint(true) runs one Spark job HERE (the caller
+    // pays materialization at call time even if the result is later
+    // unused) and pins the small pair set to executor storage with its
+    // lineage severed, so an executor loss after this call fails
+    // downstream actions instead of recomputing. In exchange the (large)
+    // signature cache can be released immediately below — a lazy
+    // checkpoint would drop the cache before first action and recompute
+    // every MinHash signature ~3x inside it, and returning the live cache
+    // would leak it in the session's CacheManager forever (the round-3
+    // defect). Callers needing fault-tolerant lineage should persist the
+    // returned pairs to storage, which a dedup pipeline does anyway.
     val out = verified.localCheckpoint(true)
     sigs.unpersist(false)
     out
@@ -199,7 +210,7 @@ object TextOps {
         expr("bit_count(sh_a ^ sh_b)").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
-    // same cache-lifetime discipline as minHashPairs
+    // same eager-materialization + cache-lifetime contract as minHashPairs
     val out = pairs.localCheckpoint(true)
     hashes.unpersist(false)
     out

@@ -107,18 +107,43 @@ object MothTable {
 
   /** The sort tag all files agree on, if any (columns of
     * [[graft.spark.MothSpark.SortedByKey]]). Cheap negative probe: the
-    * first cached tail decides; agreement is verified across all files.
+    * first cached tail decides; agreement is verified across all files IN
+    * PARALLEL (planning of a 100k-file table must not serialize a footer
+    * wave on the driver), and memoized per (path, file listing) so
+    * pushTopN and outputOrdering within one query — and repeated queries
+    * over an unchanged table — share one probe. Moth files are immutable
+    * (see the tail-cache contract), so the name listing keys the result.
     */
+  private val sortTagCache =
+    new java.util.LinkedHashMap[String, (Seq[String], Option[Seq[String]])](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, (Seq[String], Option[Seq[String]])]): Boolean =
+        size() > 256
+    }
+
   def commonSortTag(path: String): Option[Seq[String]] = {
     val files = listFiles(path)
-    def tag(f: String): Option[Seq[String]] = {
-      val rd = MothFileReader.fromPathCached(f)
-      try rd.userMetadata.get(graft.spark.MothSpark.SortedByKey)
-        .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
-      finally rd.close()
+    sortTagCache.synchronized(Option(sortTagCache.get(path))) match {
+      case Some((cachedFiles, tag)) if cachedFiles == files => tag
+      case _ =>
+        def tag(f: String): Option[Seq[String]] = {
+          val rd = MothFileReader.fromPathCached(f)
+          try rd.userMetadata.get(graft.spark.MothSpark.SortedByKey)
+            .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+          finally rd.close()
+        }
+        val result = tag(files.head).filter { cols =>
+          cols.nonEmpty && {
+            import scala.collection.parallel.CollectionConverters._
+            val par = files.tail.par
+            par.tasksupport = new scala.collection.parallel.ExecutionContextTaskSupport(
+              scala.concurrent.ExecutionContext.global)
+            par.forall(f => tag(f).contains(cols))
+          }
+        }
+        sortTagCache.synchronized(sortTagCache.put(path, (files, result)))
+        result
     }
-    tag(files.head).filter(cols =>
-      cols.nonEmpty && files.tail.forall(f => tag(f).contains(cols)))
   }
 
   /** Driver-side per-file planning parallelism: footer reads are IO-bound
@@ -911,7 +936,8 @@ class MothScan(path: String, required: StructType, predicate: StatsPredicate,
         // file-level pruning at PLANNING time: a file whose footer stats
         // refute the predicate never becomes a task (at 100k files this is
         // the difference between launching and not launching the tasks)
-        if (!pred.matches(rd.columnIdOf, c => rd.fileStats.lift(c), _ => None))
+        if (!pred.matches(rd.columnIdOf, c => rd.fileStats.lift(c), _ => None,
+            rd.trustDoubleStats))
           Nil
         else if (stripes.isEmpty) Seq(MothInputPartition(f, 0L, Long.MaxValue))
         else {

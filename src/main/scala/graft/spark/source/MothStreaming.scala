@@ -52,8 +52,25 @@ class MothMicroBatchStream(path: String, required: StructType,
     val a = streamOpts.archiveDir.getOrElse(
       throw new IllegalArgumentException(
         "cleanSource=archive requires option sourceArchiveDir"))
-    require(!new Path(a).toString.startsWith(new Path(path).toString),
-      s"sourceArchiveDir $a must lie outside the watched directory $path")
+    // true-ancestry containment check through qualified paths: a raw string
+    // startsWith would wrongly reject a sibling `/data/in-archive` of
+    // watched `/data/in`, and MISS a genuinely nested dir expressed as a
+    // relative path, with a trailing slash, or scheme-qualified — which
+    // would re-admit archived files forever (an archive→list→admit loop)
+    val watched = {
+      val p = new Path(path)
+      p.getFileSystem(Sources.conf).makeQualified(p)
+    }
+    val arch = {
+      val p = new Path(a)
+      p.getFileSystem(Sources.conf).makeQualified(p)
+    }
+    var cur: Path = arch
+    while (cur != null) {
+      require(cur != watched,
+        s"sourceArchiveDir $a must lie outside the watched directory $path")
+      cur = cur.getParent
+    }
   }
 
   private val log = new MothStreamLog(
