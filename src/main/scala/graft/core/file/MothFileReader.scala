@@ -112,6 +112,20 @@ final case class DoubleRangePred(columnName: String,
 /** Exact decimal bounds, inclusive-flagged. */
 final case class DecimalRangePred(columnName: String,
     lower: Option[(BigDecimal, Boolean)], upper: Option[(BigDecimal, Boolean)]) extends LeafPred
+/** Large-IN membership over a SORTED distinct value list: a unit survives
+  * iff some value lies inside its [min,max] stats envelope — found by ONE
+  * binary search per unit, O(log k) instead of the Or-of-Eq's O(k), which
+  * is what makes 10k–64k-key runtime (DPP) filter sets prunable without
+  * quadratic planning. Bloom refutation additionally applies when the list
+  * is small enough to test per value (≤ [[StatsPredicate.MaxBloomProbes]]).
+  * Long values double as epoch days for DATE columns (exact integers).
+  */
+final case class LongInPred(columnName: String, sorted: Array[Long]) extends LeafPred
+/** String variant: values as UTF-8 bytes, sorted unsigned-bytewise (the
+  * stats comparison order).
+  */
+final case class StringInPred(columnName: String, sortedUtf8: Array[Array[Byte]])
+    extends LeafPred
 /** Disjunction/conjunction nodes: `x IN (...)` arrives as an OrPred of
   * bloom-tested Eq leaves, `OR` of arbitrary convertible branches prunes a
   * unit only when EVERY branch is impossible there.
@@ -194,6 +208,22 @@ final case class StatsPredicate(preds: Seq[ColPredicate]) {
                   }
                 }
               })
+            case LongInPred(_, sorted) =>
+              s.forall { st =>
+                st.intStats.forall(is => StatsPredicate.anyInLong(sorted, is.min, is.max)) &&
+                  st.dateStats.forall { case (mn, mx) =>
+                    StatsPredicate.anyInLong(sorted, mn.toLong, mx.toLong)
+                  }
+              } && (sorted.length > StatsPredicate.MaxBloomProbes ||
+                bloom(col).forall(b => sorted.exists(b.testLong)))
+            case StringInPred(_, sorted) =>
+              s.forall(_.stringStats.forall { ss =>
+                (ss.min, ss.max) match {
+                  case (Some(mn), Some(mx)) => StatsPredicate.anyInBytes(sorted, mn, mx)
+                  case _ => true
+                }
+              }) && (sorted.length > StatsPredicate.MaxBloomProbes ||
+                bloom(col).forall(b => sorted.exists(b.testBytes)))
             case IsNullPred(_) => s.forall(_.hasNull)
             case IsNotNullPred(_) => s.forall(_.numValues > 0)
           }
@@ -203,6 +233,32 @@ final case class StatsPredicate(preds: Seq[ColPredicate]) {
 
 object StatsPredicate {
   val True: StatsPredicate = StatsPredicate(Nil)
+
+  /** Per-unit bloom probes are O(list), so they only run for lists at or
+    * under this size; larger lists prune on the range envelope alone.
+    */
+  val MaxBloomProbes = 256
+
+  /** Some sorted value in [lo, hi]? One binary search. */
+  def anyInLong(sorted: Array[Long], lo: Long, hi: Long): Boolean = {
+    if (lo > hi) return false
+    var i = java.util.Arrays.binarySearch(sorted, lo)
+    if (i < 0) i = -i - 1 // insertion point = first value >= lo
+    i < sorted.length && sorted(i) <= hi
+  }
+
+  /** Some sorted (unsigned-bytewise) value in [lo, hi]? */
+  def anyInBytes(sorted: Array[Array[Byte]], lo: Array[Byte], hi: Array[Byte]): Boolean = {
+    if (ColStats.compareBytes(lo, hi) > 0) return false
+    // lowest index with value >= lo
+    var l = 0
+    var r = sorted.length
+    while (l < r) {
+      val m = (l + r) >>> 1
+      if (ColStats.compareBytes(sorted(m), lo) < 0) l = m + 1 else r = m
+    }
+    l < sorted.length && ColStats.compareBytes(sorted(l), hi) <= 0
+  }
 }
 
 /** MOTH file reader — tail parse per

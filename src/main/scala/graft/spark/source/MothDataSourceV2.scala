@@ -12,7 +12,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.sql.catalyst.InternalRow
 import graft.core.columns.WriterOpts
 import graft.core.compress.CompressionKind
-import graft.core.file.{AndPred, DecimalRangePred, DoubleRangePred, IsNotNullPred, IsNullPred, LongEqPred, LongRangePred, MothFileReader, MothFileWriter, OrPred, StatsPredicate, StringEqPred, StringRangePred}
+import graft.core.file.{AndPred, DecimalRangePred, DoubleRangePred, IsNotNullPred, IsNullPred, LongEqPred, LongInPred, LongRangePred, MothFileReader, MothFileWriter, OrPred, StatsPredicate, StringEqPred, StringInPred, StringRangePred}
 import graft.spark.{InternalBridge, SparkBridge}
 
 /** Merges the Spark session/executor `spark.hadoop.*` settings into the
@@ -615,8 +615,17 @@ object MothAggReaderFactory extends PartitionReaderFactory {
 object MothFilters {
   import graft.core.file.ColPredicate
 
-  /** Largest `isin` value list converted to an Or-of-Eq pruning predicate. */
+  /** Largest `isin` value list converted to an Or-of-Eq pruning predicate
+    * (bloom-tested per value). Larger lists up to [[MaxInListSorted]] use
+    * the sorted binary-search membership predicate instead.
+    */
   val MaxInListPushdown = 256
+
+  /** Largest `isin`/DPP value list that still prunes (as a sorted-membership
+    * predicate); beyond this even holding the sorted copy per task is a
+    * planning-memory concern, so pruning is skipped entirely.
+    */
+  val MaxInListSorted = 65536
 
   /** Types whose predicates can prune against file/stripe/group stats —
     * the columns worth advertising for runtime (DPP) filtering.
@@ -768,8 +777,28 @@ object MothFilters {
     // so dropping them keeps the disjunction conservative. CAPPED: each
     // branch is evaluated per file/stripe/row-group during planning, so an
     // unbounded isin (100k ids from a collected dim table) would turn
-    // planning quadratic — beyond the cap the filter simply doesn't prune.
-    case In(c, vs) if vs.length > MaxInListPushdown => Nil
+    // planning quadratic. Beyond the cap, int-family/date/string lists —
+    // exactly the runtime (DPP) key sets that matter at 100 TB — convert to
+    // ONE sorted-membership predicate evaluated by binary search per unit
+    // (O(log k)); other types simply don't prune.
+    case In(c, vs) if vs.length > MaxInListPushdown && vs.length <= MaxInListSorted =>
+      val nn = vs.filter(_ != null)
+      if (isIntFamily(schema, c)) {
+        val longs = nn.flatMap(longOf)
+        if (longs.length == nn.length)
+          Seq(LongInPred(c, longs.sorted.distinct.toArray)) else Nil
+      } else if (isDate(schema, c)) {
+        val days = nn.flatMap(daysOf)
+        if (days.length == nn.length)
+          Seq(LongInPred(c, days.sorted.distinct.toArray)) else Nil
+      } else if (isString(schema, c)) {
+        val strs = nn.collect { case s: String => s }
+        if (strs.length == nn.length)
+          Seq(StringInPred(c, strs.distinct.map(_.getBytes("UTF-8")).sortWith(
+            graft.core.stats.ColStats.compareBytes(_, _) < 0).toArray))
+        else Nil
+      } else Nil
+    case In(c, vs) if vs.length > MaxInListSorted => Nil
     case In(c, vs) =>
       val branches = vs.filter(_ != null).map(v => toPreds(schema, EqualTo(c, v)))
       if (branches.isEmpty || branches.exists(_.isEmpty)) Nil

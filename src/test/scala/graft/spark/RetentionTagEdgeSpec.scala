@@ -143,7 +143,7 @@ class RetentionTagEdgeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == expect)
   }
 
-  test("runtime-filter In beyond the pushdown cap prunes nothing, plans everything") {
+  test("runtime-filter In beyond the Or-of-Eq cap prunes via sorted membership") {
     val s = spark
     import s.implicits._
     val d = tmpDir() + "/rfcap"
@@ -153,14 +153,30 @@ class RetentionTagEdgeSpec extends AnyFunSuite with BeforeAndAfterAll {
     val base = new MothScanBuilder(d, schema).build().asInstanceOf[MothScan]
     val all = base.planInputPartitions().length
     assert(all >= 3)
-    // a huge runtime key set (beyond MaxInListPushdown) converts to no
-    // predicate: the capped conversion must not silently prune
+    // an over-Or-cap (but under MaxInListSorted) key set that intersects
+    // every file's envelope plans everything — conservative, no false prune
     val scan = new MothScanBuilder(d, schema).build().asInstanceOf[MothScan]
     scan.filter(Array[org.apache.spark.sql.sources.Filter](
       org.apache.spark.sql.sources.In("k",
         (0 until 2000).map(i => java.lang.Long.valueOf(i * 2L)).toArray[Any])))
     assert(scan.planInputPartitions().length == all,
-      "an over-cap runtime In must leave the plan untouched")
+      "an intersecting large key set must keep every split")
+    // ...while a large REFUTING key set (every key outside the table's
+    // range) prunes everything via one binary search per file
+    val scan3 = new MothScanBuilder(d, schema).build().asInstanceOf[MothScan]
+    scan3.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("k",
+        (0 until 2000).map(i => java.lang.Long.valueOf(100000L + i)).toArray[Any])))
+    assert(scan3.planInputPartitions().isEmpty,
+      "a refuting large key set must prune at planning time")
+    // beyond MaxInListSorted the filter stops pruning entirely
+    val scan4 = new MothScanBuilder(d, schema).build().asInstanceOf[MothScan]
+    scan4.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("k",
+        (0 until graft.spark.source.MothFilters.MaxInListSorted + 1)
+          .map(i => java.lang.Long.valueOf(100000L + i)).toArray[Any])))
+    assert(scan4.planInputPartitions().length == all,
+      "an over-MaxInListSorted key set must leave the plan untouched")
     // a small runtime key set DOES prune files whose stats refute it
     val scan2 = new MothScanBuilder(d, schema).build().asInstanceOf[MothScan]
     scan2.filter(Array[org.apache.spark.sql.sources.Filter](

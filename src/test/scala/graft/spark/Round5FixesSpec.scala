@@ -56,6 +56,56 @@ class Round5FixesSpec extends AnyFunSuite with BeforeAndAfterAll {
       assertThrows[IllegalArgumentException](mkStream(watched, nested))
   }
 
+  test("large isin (beyond Or-of-Eq cap) prunes files and answers exactly") {
+    import graft.spark.source.{MothScan, MothScanBuilder}
+    val dir = tmpDir()
+    // range partitioning → disjoint per-file envelopes, so stats can refute
+    spark.range(0, 9000).selectExpr("id AS k", "cast(id AS string) AS s")
+      .repartitionByRange(3, org.apache.spark.sql.functions.col("k"))
+      .write.format("moth").mode("append").save(dir)
+    val schema = spark.read.format("moth").load(dir).schema
+    val all = new MothScanBuilder(dir, schema).build()
+      .asInstanceOf[MothScan].planInputPartitions().length
+    // 300 long keys inside one range third
+    val keys = (0 until 300).map(i => 1000L + i * 3)
+    val b = new MothScanBuilder(dir, schema)
+    b.pushFilters(Array(org.apache.spark.sql.sources.In("k",
+      keys.map(java.lang.Long.valueOf).toArray[Any])))
+    val planned = b.build().asInstanceOf[MothScan].planInputPartitions().length
+    assert(planned < all, s"expected pruning, planned $planned of $all")
+    // 300 string keys, same locality (strings sort differently but all
+    // share the '1xxx'/'2xxx' prefix region of one file)
+    val sKeys = (0 until 300).map(i => (1000 + i).toString)
+    val b2 = new MothScanBuilder(dir, schema)
+    b2.pushFilters(Array(org.apache.spark.sql.sources.In("s", sKeys.toArray[Any])))
+    val planned2 = b2.build().asInstanceOf[MothScan].planInputPartitions().length
+    assert(planned2 < all, s"expected string pruning, planned $planned2 of $all")
+    // and the answers are exact (residual filter catches in-envelope misses)
+    val got = spark.read.format("moth").load(dir)
+      .filter(org.apache.spark.sql.functions.col("k").isin(keys: _*))
+      .agg(org.apache.spark.sql.functions.sum("k")).head.getLong(0)
+    assert(got == keys.sum)
+  }
+
+  test("sorted-membership envelope search: bounds and bloom cap") {
+    import graft.core.file.StatsPredicate._
+    val xs = Array(5L, 10L, 20L)
+    assert(anyInLong(xs, 0, 4) == false)
+    assert(anyInLong(xs, 0, 5))
+    assert(anyInLong(xs, 6, 9) == false)
+    assert(anyInLong(xs, 6, 10))
+    assert(anyInLong(xs, 21, 100) == false)
+    assert(anyInLong(xs, 20, 20))
+    assert(anyInLong(xs, 100, 0) == false) // inverted envelope
+    def b(s: String) = s.getBytes("UTF-8")
+    val ss = Array(b("bb"), b("dd"))
+    assert(anyInBytes(ss, b("a"), b("b")) == false)
+    assert(anyInBytes(ss, b("a"), b("bb")))
+    assert(anyInBytes(ss, b("bc"), b("dc")) == false)
+    assert(anyInBytes(ss, b("bc"), b("dd")))
+    assert(anyInBytes(ss, b("de"), b("zz")) == false)
+  }
+
   test("commonSortTag: memoized per listing, invalidated when files change") {
     val dir = tmpDir()
     val df = spark.range(100).selectExpr("id AS k", "cast(id AS string) AS s")
