@@ -226,6 +226,23 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
 
+    // metadata (provenance) columns: _moth_file/_moth_pos synthesized by
+    // the scan — one sorted file, so the row's file ordinal equals its
+    // o_orderkey rank, which plain SQL (row_number) can reproduce exactly
+    "metadata_cols" -> ((s, d) => {
+      val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft-dsv2meta-${Integer.toHexString(d.hashCode)}/orders").getAbsolutePath
+      read(s, d, "orders").select("o_orderkey")
+        .coalesce(1).sortWithinPartitions("o_orderkey")
+        .write.format("moth").mode("overwrite").save(out)
+      s.read.format("moth").load(out)
+        .select(col("o_orderkey"), col("_moth_file"), col("_moth_pos"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("_moth_file")).as("n_files"),
+          max("_moth_pos").as("max_pos"),
+          sum(col("_moth_pos") * col("o_orderkey")).cast("long").as("pos_dot_key"))
+    }),
+
     // footer-only aggregate pushdown: count/min/max answered from file
     // statistics with zero data bytes scanned (MothAggScan)
     "dsv2_agg_orders" -> ((s, d) => {
@@ -418,6 +435,13 @@ object SparkEntry {
     "roundtrip_documents" -> "SELECT * FROM documents ORDER BY doc_id",
     "roundtrip_events" -> "SELECT * FROM events ORDER BY event_id",
     "streaming_roundtrip" -> "SELECT * FROM events ORDER BY event_id",
+    "metadata_cols" ->
+      """SELECT count(*) AS n_rows, cast(1 AS bigint) AS n_files,
+        |  cast(count(*) - 1 AS bigint) AS max_pos,
+        |  cast(sum((rn - 1) * o_orderkey) AS bigint) AS pos_dot_key
+        |FROM (SELECT o_orderkey,
+        |        row_number() OVER (ORDER BY o_orderkey) AS rn
+        |      FROM orders)""".stripMargin,
     "roundtrip_embeddings" ->
       """SELECT vec_id, cast(len(embedding) AS bigint) AS dim,
         |  cast(list_sum(list_transform(embedding, x -> cast(floor(cast(x AS double) * 1000) AS bigint))) AS bigint) AS checksum,

@@ -333,7 +333,17 @@ final class MothFileReader(src: ByteSource, opts: ReaderOpts = ReaderOpts(),
   def batchesProjected(projected: MothType.TStruct,
       predicate: StatsPredicate = StatsPredicate.True,
       batchSize: Int = 8192,
-      split: Option[(Long, Long)] = None): Iterator[ColVec] = {
+      split: Option[(Long, Long)] = None): Iterator[ColVec] =
+    batchesProjectedWithPos(projected, predicate, batchSize, split).map(_._1)
+
+  /** Like [[batchesProjected]] but each batch carries the FILE ROW ORDINAL
+    * of its first row (0-based over the whole file, counting rows in units
+    * skipped by pruning/splits) — row-level provenance for metadata columns.
+    */
+  def batchesProjectedWithPos(projected: MothType.TStruct,
+      predicate: StatsPredicate = StatsPredicate.True,
+      batchSize: Int = 8192,
+      split: Option[(Long, Long)] = None): Iterator[(ColVec, Long)] = {
     val includedIds = MothFileReader.projectedIds(schema, projected, 0)
 
     // file-level stats gate
@@ -341,18 +351,23 @@ final class MothFileReader(src: ByteSource, opts: ReaderOpts = ReaderOpts(),
         trustDoubleStats))
       return Iterator.empty
 
+    // file row ordinal of each stripe's first row
+    val stripeStartRows = footer.stripes.scanLeft(0L)(_ + _.numberOfRows)
+
     footer.stripes.iterator.zipWithIndex.flatMap { case (stripe, si) =>
       val owned = split.forall { case (s, e) => stripe.offset >= s && stripe.offset < e }
       val stripeOk = owned && predicate.matches(columnIdOf,
         c => stripeStatsPerStripe.lift(si).flatMap(_.lift(c)), _ => None,
         trustDoubleStats)
       if (!stripeOk) Iterator.empty
-      else readStripe(stripe, projected, includedIds, predicate, batchSize)
+      else readStripe(stripe, projected, includedIds, predicate, batchSize,
+        stripeStartRows(si))
     }
   }
 
   private def readStripe(stripe: Meta.StripeInfo, projected: MothType.TStruct,
-      includedIds: Set[Int], predicate: StatsPredicate, batchSize: Int): Iterator[ColVec] = {
+      includedIds: Set[Int], predicate: StatsPredicate, batchSize: Int,
+      stripeStartRow: Long): Iterator[(ColVec, Long)] = {
     // stripe footer first: it tells WHERE each stream lives, so IO can be
     // restricted to the projected columns' byte ranges (the reference's
     // ReadFully2/DiskRange path) instead of the whole stripe
@@ -435,7 +450,7 @@ final class MothFileReader(src: ByteSource, opts: ReaderOpts = ReaderOpts(),
     val reader = buildProjectedReader(projected, includedIds)
     reader.startStripe(streams)
 
-    new Iterator[ColVec] {
+    new Iterator[(ColVec, Long)] {
       private var group = 0
       private var rowInGroup = 0L
       // Adaptive batch sizing (MothRecordReader.go:63,195-197,222-249):
@@ -465,7 +480,8 @@ final class MothFileReader(src: ByteSource, opts: ReaderOpts = ReaderOpts(),
       }
 
       def hasNext: Boolean = group < nGroups
-      def next(): ColVec = {
+      def next(): (ColVec, Long) = {
+        val pos = stripeStartRow + group.toLong * stride + rowInGroup
         val remainingInGroup = groupRows(group) - rowInGroup
         val cur = math.min(nextBatch, adaptiveMax)
         nextBatch = math.min(cur * 2, batchSize)
@@ -479,7 +495,7 @@ final class MothFileReader(src: ByteSource, opts: ReaderOpts = ReaderOpts(),
         }
         rowInGroup += n
         if (rowInGroup >= groupRows(group)) { group += 1; rowInGroup = 0; advance() }
-        v
+        (v, pos)
       }
     }
   }

@@ -126,3 +126,52 @@ final class MothVector(dt: DataType, v: ColVec, map: Array[Int] = null)
     else new ColumnarMap(childVectors(0), childVectors(1), denseStarts(j), v.lengths(j))
   }
 }
+
+/** Constant non-null string vector — serves the `_moth_file` metadata
+  * column (one value per split) without materializing per-row copies.
+  */
+final class MothConstStringVector(value: UTF8String)
+    extends ColumnVector(StringType) {
+  override def close(): Unit = ()
+  override def hasNull: Boolean = false
+  override def numNulls: Int = 0
+  override def isNullAt(rowId: Int): Boolean = false
+  override def getUTF8String(rowId: Int): UTF8String = value
+  override def getBoolean(rowId: Int): Boolean = throw new UnsupportedOperationException
+  override def getByte(rowId: Int): Byte = throw new UnsupportedOperationException
+  override def getShort(rowId: Int): Short = throw new UnsupportedOperationException
+  override def getInt(rowId: Int): Int = throw new UnsupportedOperationException
+  override def getLong(rowId: Int): Long = throw new UnsupportedOperationException
+  override def getFloat(rowId: Int): Float = throw new UnsupportedOperationException
+  override def getDouble(rowId: Int): Double = throw new UnsupportedOperationException
+  override def getDecimal(rowId: Int, p: Int, s: Int): org.apache.spark.sql.types.Decimal =
+    throw new UnsupportedOperationException
+  override def getBinary(rowId: Int): Array[Byte] = throw new UnsupportedOperationException
+  override def getArray(rowId: Int): ColumnarArray = throw new UnsupportedOperationException
+  override def getMap(rowId: Int): ColumnarMap = throw new UnsupportedOperationException
+  override def getChild(ordinal: Int): ColumnVector = throw new UnsupportedOperationException
+}
+
+/** Arithmetic-sequence long vector — serves the `_moth_pos` metadata column
+  * (file row ordinal) as `start + rowId`, no storage.
+  */
+final class MothPosVector(start: Long) extends ColumnVector(LongType) {
+  override def close(): Unit = ()
+  override def hasNull: Boolean = false
+  override def numNulls: Int = 0
+  override def isNullAt(rowId: Int): Boolean = false
+  override def getLong(rowId: Int): Long = start + rowId
+  override def getBoolean(rowId: Int): Boolean = throw new UnsupportedOperationException
+  override def getByte(rowId: Int): Byte = throw new UnsupportedOperationException
+  override def getShort(rowId: Int): Short = throw new UnsupportedOperationException
+  override def getInt(rowId: Int): Int = throw new UnsupportedOperationException
+  override def getFloat(rowId: Int): Float = throw new UnsupportedOperationException
+  override def getDouble(rowId: Int): Double = throw new UnsupportedOperationException
+  override def getDecimal(rowId: Int, p: Int, s: Int): org.apache.spark.sql.types.Decimal =
+    throw new UnsupportedOperationException
+  override def getUTF8String(rowId: Int): UTF8String = throw new UnsupportedOperationException
+  override def getBinary(rowId: Int): Array[Byte] = throw new UnsupportedOperationException
+  override def getArray(rowId: Int): ColumnarArray = throw new UnsupportedOperationException
+  override def getMap(rowId: Int): ColumnarMap = throw new UnsupportedOperationException
+  override def getChild(ordinal: Int): ColumnVector = throw new UnsupportedOperationException
+}

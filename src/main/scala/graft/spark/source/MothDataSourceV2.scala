@@ -158,10 +158,41 @@ object MothTable {
   }
 }
 
+/** Row-level provenance (metadata) columns, selectable by name but hidden
+  * from `SELECT *`: `_moth_file` = the file providing the row, `_moth_pos`
+  * = the row's 0-based ordinal within that file (counting rows in pruned
+  * units, so it is a stable file coordinate). Together they complete the
+  * lineage story the manifests start: any output row can be traced to an
+  * exact (file, position) — the audit primitive a 100 TB pipeline needs.
+  */
+object MothMeta {
+  val FileCol = "_moth_file"
+  val PosCol = "_moth_pos"
+  val names: Set[String] = Set(FileCol, PosCol)
+
+  import org.apache.spark.sql.connector.catalog.MetadataColumn
+  val columns: Array[MetadataColumn] = Array(
+    new MetadataColumn {
+      override def name(): String = FileCol
+      override def dataType(): org.apache.spark.sql.types.DataType = StringType
+      override def isNullable(): Boolean = false
+      override def comment(): String = "moth file providing the row"
+    },
+    new MetadataColumn {
+      override def name(): String = PosCol
+      override def dataType(): org.apache.spark.sql.types.DataType = LongType
+      override def isNullable(): Boolean = false
+      override def comment(): String = "0-based row ordinal within the moth file"
+    })
+}
+
 class MothTable(path: String, tableSchema: StructType) extends Table
-    with SupportsRead with SupportsWrite {
+    with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   override def name(): String = s"moth:$path"
   override def schema(): StructType = tableSchema
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] = MothMeta.columns
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ)
@@ -876,7 +907,7 @@ class MothScan(path: String, required: StructType, predicate: StatsPredicate,
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
     required.fields.collect {
-      case f if MothFilters.statsEligible(f.dataType) =>
+      case f if !MothMeta.names(f.name) && MothFilters.statsEligible(f.dataType) =>
         org.apache.spark.sql.connector.expressions.Expressions.column(f.name)
     }
 
@@ -1051,22 +1082,38 @@ class MothColumnarPartitionReader(part: MothInputPartition, required: StructType
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
   import org.apache.spark.sql.vectorized.{ColumnarBatch, ColumnVector}
   private val reader = MothFileReader.fromPathCached(part.file, readerOpts)
-  private val vecs = reader.batchesProjected(
-    if (required.isEmpty)
+  // metadata columns (`_moth_file`/`_moth_pos`) are synthesized here, not
+  // read: strip them from the moth projection, splice vectors back in at
+  // the positions the required schema asks for
+  private val dataSchema = StructType(required.fields.filterNot(f => MothMeta.names(f.name)))
+  private val fileUtf8 =
+    org.apache.spark.unsafe.types.UTF8String.fromString(part.file)
+  private val vecs = reader.batchesProjectedWithPos(
+    if (dataSchema.isEmpty)
       graft.core.columns.MothType.TStruct(Seq(reader.schema.fields.head))
-    else SparkBridge.toMothStruct(required),
+    else SparkBridge.toMothStruct(dataSchema),
     predicate = predicate,
     split = Some((part.start, part.end)))
 
   private var current: ColumnarBatch = _
   override def next(): Boolean = {
     if (!vecs.hasNext) return false
-    val v = vecs.next()
+    val (v, pos) = vecs.next()
     val cols: Array[ColumnVector] =
       if (required.isEmpty) Array.empty
-      else required.fields.zipWithIndex.map { case (f, i) =>
-        new MothVector(f.dataType, v.children(i)): ColumnVector
-      }.toArray
+      else {
+        var di = 0
+        required.fields.map { f =>
+          f.name match {
+            case MothMeta.FileCol => new MothConstStringVector(fileUtf8): ColumnVector
+            case MothMeta.PosCol => new MothPosVector(pos): ColumnVector
+            case _ =>
+              val c = new MothVector(f.dataType, v.children(di)): ColumnVector
+              di += 1
+              c
+          }
+        }.toArray
+      }
     current = new ColumnarBatch(cols, v.len)
     true
   }
@@ -1082,21 +1129,49 @@ class MothPartitionReader(part: MothInputPartition, required: StructType,
     readerOpts: graft.core.file.ReaderOpts = graft.core.file.ReaderOpts())
     extends PartitionReader[InternalRow] {
   private val reader = MothFileReader.fromPathCached(part.file, readerOpts)
+  private val dataSchema = StructType(required.fields.filterNot(f => MothMeta.names(f.name)))
+  private val hasMeta = dataSchema.length != required.length
+  private val fileUtf8 =
+    org.apache.spark.unsafe.types.UTF8String.fromString(part.file)
   private val rows: Iterator[InternalRow] = reader
-    .batchesProjected(
+    .batchesProjectedWithPos(
       // NESTED projection: Spark's nested schema pruning hands a pruned
       // struct tree; name-match it against the file schema so only the
       // projected subtrees' streams are fetched and decoded
-      if (required.isEmpty)
+      if (dataSchema.isEmpty)
         graft.core.columns.MothType.TStruct(Seq(reader.schema.fields.head))
-      else SparkBridge.toMothStruct(required),
+      else SparkBridge.toMothStruct(dataSchema),
       predicate = predicate,
       split = Some((part.start, part.end)))
-    .flatMap { v =>
+    .flatMap { case (v, pos) =>
       if (required.isEmpty) {
         // COUNT(*)-style scan: only row positions matter
         Iterator.fill(v.len)(InternalRow.empty)
-      } else SparkBridge.vecToInternalRows(required, v)
+      } else if (!hasMeta) {
+        SparkBridge.vecToInternalRows(required, v)
+      } else {
+        // splice metadata values at the positions the schema asks for
+        val dataRows: Iterator[InternalRow] =
+          if (dataSchema.isEmpty) Iterator.fill(v.len)(InternalRow.empty)
+          else SparkBridge.vecToInternalRows(dataSchema, v)
+        dataRows.zipWithIndex.map { case (dr, i) =>
+          val out = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            required.length)
+          var di = 0
+          var oi = 0
+          while (oi < required.length) {
+            required.fields(oi).name match {
+              case MothMeta.FileCol => out.update(oi, fileUtf8)
+              case MothMeta.PosCol => out.update(oi, pos + i)
+              case _ =>
+                out.update(oi, dr.get(di, dataSchema.fields(di).dataType))
+                di += 1
+            }
+            oi += 1
+          }
+          out
+        }
+      }
     }
 
   private var current: InternalRow = _

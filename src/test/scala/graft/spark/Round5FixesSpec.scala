@@ -106,6 +106,46 @@ class Round5FixesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(anyInBytes(ss, b("de"), b("zz")) == false)
   }
 
+  test("metadata columns: _moth_file/_moth_pos trace rows to file coordinates") {
+    import org.apache.spark.sql.functions.col
+    val dir = tmpDir()
+    spark.range(0, 5000).selectExpr("id AS k", "cast(id AS string) AS s")
+      .repartitionByRange(2, col("k")).sortWithinPartitions("k")
+      .write.format("moth").mode("append").save(dir)
+    val df = spark.read.format("moth").load(dir)
+    // hidden from SELECT *
+    assert(!df.columns.contains("_moth_file"))
+    val rows = df.select(col("k"), col("_moth_file"), col("_moth_pos")).collect()
+    assert(rows.length == 5000)
+    val byFile = rows.groupBy(_.getString(1))
+    assert(byFile.size == 2, s"expected 2 files, got ${byFile.keySet}")
+    byFile.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getLong(2))
+      // pos is a dense 0..n-1 ordinal per file
+      assert(sorted.map(_.getLong(2)).toSeq == (0L until rs.length).toSeq)
+      // files were written k-sorted, so pos order == k order
+      assert(sorted.map(_.getLong(0)).toSeq == sorted.map(_.getLong(0)).sorted.toSeq)
+    }
+    // metadata-only projection works (no data column read at all)
+    assert(df.select("_moth_pos").count() == 5000)
+  }
+
+  test("metadata positions stay true file ordinals under row-group pruning") {
+    import org.apache.spark.sql.functions.col
+    val dir = tmpDir()
+    // one sorted file, 35000 rows → 4 row groups at the default 10k stride;
+    // k == file ordinal by construction
+    spark.range(0, 35000).selectExpr("id AS k")
+      .coalesce(1).sortWithinPartitions("k")
+      .write.format("moth").mode("append").save(dir)
+    val got = spark.read.format("moth").load(dir)
+      .filter(col("k").between(20000, 20010))
+      .select("k", "_moth_pos").collect()
+    assert(got.length == 11)
+    got.foreach(r => assert(r.getLong(0) == r.getLong(1),
+      s"pos ${r.getLong(1)} != k ${r.getLong(0)} (pruned groups miscounted)"))
+  }
+
   test("commonSortTag: memoized per listing, invalidated when files change") {
     val dir = tmpDir()
     val df = spark.range(100).selectExpr("id AS k", "cast(id AS string) AS s")
