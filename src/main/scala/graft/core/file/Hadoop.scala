@@ -120,6 +120,21 @@ object Sources {
       .map(_.getPath.toString)
       .sorted
   }
+
+  /** Like [[listMoth]] but with (size, mtime) per file — one listing RPC:
+    * byte-based streaming admission and latestFirst ordering must not
+    * re-stat every file on every trigger.
+    */
+  def listMothSized(path: String): Seq[(String, Long, Long)] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val st = fs.getFileStatus(p)
+    if (st.isFile) Seq((fs.makeQualified(p).toString, st.getLen, st.getModificationTime))
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".moth"))
+      .map(s => (s.getPath.toString, s.getLen, s.getModificationTime))
+      .sortBy(_._1)
+  }
 }
 
 /** ByteSource over `FSDataInputStream` positioned reads (thread-safe per

@@ -216,7 +216,9 @@ class MothTable(path: String, tableSchema: StructType) extends Table
           .getOrElse("off"),
         archiveDir = Option(options.get("sourceArchiveDir")),
         compactInterval = Option(options.get("logCompactInterval")).map(_.toInt)
-          .getOrElse(MothStreamLog.DefaultCompactInterval)),
+          .getOrElse(MothStreamLog.DefaultCompactInterval),
+        maxBytesPerTrigger = Option(options.get("maxBytesPerTrigger")).map(_.toLong),
+        latestFirst = Option(options.get("latestFirst")).exists(_.toBoolean)),
       readerOpts)
   }
 

@@ -2,7 +2,7 @@ package graft.spark.source
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadLimit, ReadMaxBytes, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types.StructType
 import graft.core.file.{Sources, StatsPredicate}
 
@@ -78,20 +78,57 @@ class MothMicroBatchStream(path: String, required: StructType,
       "moth-file-log"),
     compactInterval)
 
-  private def currentFiles(): Seq[String] = {
-    // Hadoop FileSystem listing (any scheme); names only — the offset log
-    // stores names relative to the watched directory
-    try Sources.listMoth(path).map(f => new Path(f).getName).sorted
+  /** (name, size, mtime) listing — names relative to the watched directory
+    * (the offset log stores names), sizes for byte-capped admission, mtimes
+    * for latestFirst ordering. One listing RPC per trigger.
+    */
+  private def currentFiles(): Seq[(String, Long, Long)] = {
+    try Sources.listMothSized(path)
+      .map { case (f, sz, mt) => (new Path(f).getName, sz, mt) }
+      .sortBy(_._1)
     catch { case _: java.io.FileNotFoundException => Nil }
   }
 
   /** Trigger.AvailableNow end-bound: everything visible at query start. */
   @volatile private var availableNowCap: Option[Set[String]] = None
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowCap = Some(currentFiles().toSet)
+    availableNowCap = Some(currentFiles().map(_._1).toSet)
 
+  /** Admission caps compose: `maxFilesPerTrigger` alone misjudges skewed
+    * file sizes (one trigger can admit n huge files), so
+    * `maxBytesPerTrigger` bounds the batch by bytes — at least one file is
+    * always admitted so an oversized file cannot wedge the query.
+    */
   override def getDefaultReadLimit: ReadLimit =
-    maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
+    (maxFilesPerTrigger, streamOpts.maxBytesPerTrigger) match {
+      case (Some(f), Some(b)) =>
+        ReadLimit.compositeLimit(Array(ReadLimit.maxFiles(f), ReadLimit.maxBytes(b)))
+      case (Some(f), None) => ReadLimit.maxFiles(f)
+      case (None, Some(b)) => ReadLimit.maxBytes(b)
+      case _ => ReadLimit.allAvailable()
+    }
+
+  /** Prefix of `fresh` admitted under a limit. Every limit yields a prefix,
+    * so a composite is simply the shortest prefix (most restrictive wins).
+    */
+  private def applyLimit(fresh: Seq[(String, Long, Long)], limit: ReadLimit): Seq[String] =
+    limit match {
+      case m: ReadMaxFiles => fresh.take(m.maxFiles()).map(_._1)
+      case b: ReadMaxBytes =>
+        val out = scala.collection.mutable.ArrayBuffer[String]()
+        var acc = 0L
+        val it = fresh.iterator
+        var full = false
+        while (!full && it.hasNext) {
+          val (n, sz, _) = it.next()
+          if (out.isEmpty || acc + sz <= b.maxBytes()) { out += n; acc += sz }
+          else full = true
+        }
+        out.toSeq
+      case c: CompositeReadLimit =>
+        c.getReadLimits.map(applyLimit(fresh, _)).minBy(_.length)
+      case _ => fresh.map(_._1)
+    }
 
   override def initialOffset(): Offset = MothLogOffset(0L)
 
@@ -110,14 +147,17 @@ class MothMicroBatchStream(path: String, required: StructType,
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val seen = seenAt(start)
     val visible = availableNowCap match {
-      case Some(cap) => currentFiles().filter(cap)
+      case Some(cap) => currentFiles().filter(f => cap(f._1))
       case None => currentFiles()
     }
-    val fresh = visible.filterNot(seen)
-    val take = limit match {
-      case m: ReadMaxFiles => fresh.take(m.maxFiles())
-      case _ => fresh
-    }
+    val freshAll = visible.filterNot(f => seen(f._1))
+    // latestFirst: drain the NEWEST files first (mtime desc, name asc as a
+    // deterministic tiebreak) — a restarted query with a deep backlog serves
+    // fresh data before catching up on history, Spark file-source parity
+    val fresh =
+      if (streamOpts.latestFirst) freshAll.sortBy(f => (-f._3, f._1))
+      else freshAll
+    val take = applyLimit(fresh, limit)
     if (take.isEmpty) {
       // no progress: re-hand Spark the same offset (legacy offsets migrate
       // to a compact log entry so the old name list never grows further)
@@ -144,9 +184,14 @@ class MothMicroBatchStream(path: String, required: StructType,
     */
   override def reportLatestOffset(): Offset = {
     val last = log.lastIndex()
-    val pending = currentFiles().count(!log.seenAt(last).contains(_))
-    val batchSize = maxFilesPerTrigger.getOrElse(Int.MaxValue)
-    MothLogOffset(last + (pending + batchSize - 1L) / batchSize)
+    val seen = log.seenAt(last)
+    val pending = currentFiles().filterNot(f => seen(f._1))
+    val byFiles = maxFilesPerTrigger.map(c => (pending.size + c - 1L) / c)
+    val byBytes = streamOpts.maxBytesPerTrigger.map(c =>
+      math.max(if (pending.isEmpty) 0L else 1L, (pending.map(_._2).sum + c - 1) / c))
+    val batches = (byFiles.toSeq ++ byBytes.toSeq).maxOption
+      .getOrElse(if (pending.nonEmpty) 1L else 0L)
+    MothLogOffset(last + batches)
   }
 
   override def deserializeOffset(json: String): Offset =
@@ -212,7 +257,9 @@ final case class MothStreamOpts(
     maxFilesPerTrigger: Option[Int] = None,
     cleanSource: String = "off",
     archiveDir: Option[String] = None,
-    compactInterval: Int = MothStreamLog.DefaultCompactInterval)
+    compactInterval: Int = MothStreamLog.DefaultCompactInterval,
+    maxBytesPerTrigger: Option[Long] = None,
+    latestFirst: Boolean = false)
 
 /** Compact offset: a monotone index into the file log — `{"i":N}`. */
 case class MothLogOffset(index: Long) extends Offset {

@@ -146,6 +146,72 @@ class Round5FixesSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"pos ${r.getLong(1)} != k ${r.getLong(0)} (pruned groups miscounted)"))
   }
 
+  test("streaming maxBytesPerTrigger: backlog drains as byte-bounded batches") {
+    import org.apache.spark.sql.functions.col
+    val dir = tmpDir()
+    spark.range(0, 4000).selectExpr("id", "cast(id AS string) AS text")
+      .repartition(4).write.format("moth").mode("append").save(dir)
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".moth"))
+    assert(files.length == 4)
+    val maxSize = files.map(_.length).max
+    val schema = spark.read.format("moth").load(dir).schema
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val rows = new java.util.concurrent.atomic.AtomicLong(0)
+    // cap below 2 files → one file per micro-batch
+    val q = spark.readStream.format("moth").schema(schema)
+      .option("maxBytesPerTrigger", (maxSize + 1).toString).load(dir)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val n = df.count()
+        if (n > 0) { batches.incrementAndGet(); rows.addAndGet(n) }; ()
+      }
+      .option("checkpointLocation", tmpDir())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(batches.get() == 4, s"expected 4 byte-capped micro-batches, got ${batches.get()}")
+    assert(rows.get() == 4000L)
+  }
+
+  test("streaming latestFirst: newest file admitted first; oversized file still admitted") {
+    import graft.spark.source.{MothInputPartition, MothLogOffset}
+    val dir = tmpDir()
+    spark.range(0, 300).selectExpr("id", "cast(id AS string) AS text")
+      .repartition(3).write.format("moth").mode("append").save(dir)
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".moth"))
+      .sortBy(_.getName)
+    assert(files.length == 3)
+    val now = System.currentTimeMillis()
+    // make the alphabetically-FIRST file the NEWEST (order must follow
+    // mtime, not name)
+    files(0).setLastModified(now)
+    files(1).setLastModified(now - 60000)
+    files(2).setLastModified(now - 30000)
+    val schema = spark.read.format("moth").load(dir).schema
+    val stream = new MothMicroBatchStream(dir, schema, StatsPredicate.True,
+      MothStreamOpts(maxFilesPerTrigger = Some(1), latestFirst = true),
+      checkpointLocation = tmpDir())
+    val o0 = stream.initialOffset()
+    val o1 = stream.latestOffset(o0, stream.getDefaultReadLimit)
+    val first = stream.planInputPartitions(o0, o1)
+      .map(_.asInstanceOf[MothInputPartition].file)
+    assert(first.length == 1 && first.head.endsWith(files(0).getName),
+      s"latestFirst must admit the newest file, got ${first.toSeq}")
+    val o2 = stream.latestOffset(o1, stream.getDefaultReadLimit)
+    val second = stream.planInputPartitions(o1, o2)
+      .map(_.asInstanceOf[MothInputPartition].file)
+    assert(second.length == 1 && second.head.endsWith(files(2).getName),
+      s"second-newest next, got ${second.toSeq}")
+    // a byte cap smaller than any single file must still admit one file
+    val stream2 = new MothMicroBatchStream(dir, schema, StatsPredicate.True,
+      MothStreamOpts(maxBytesPerTrigger = Some(1L)),
+      checkpointLocation = tmpDir())
+    val p0 = stream2.initialOffset()
+    val p1 = stream2.latestOffset(p0, stream2.getDefaultReadLimit)
+    assert(stream2.planInputPartitions(p0, p1).length == 1,
+      "an oversized file must not wedge the query")
+  }
+
   test("commonSortTag: memoized per listing, invalidated when files change") {
     val dir = tmpDir()
     val df = spark.range(100).selectExpr("id AS k", "cast(id AS string) AS s")
