@@ -226,6 +226,33 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
 
+    // storage-partitioned join: orders and lineitem hash-bucketed on their
+    // join keys (verified footer tags), loaded through MothCatalog so the
+    // bucket(n, col) transform resolves — the join then runs with NO
+    // shuffle on either side (SpjSpec asserts the plan; this query gates
+    // the RESULT against DuckDB)
+    "spj_join" -> ((s, d) => {
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft-spj-${Integer.toHexString(d.hashCode)}").getAbsolutePath
+      MothSpark.writeBucketed(read(s, d, "orders").select("o_orderkey", "o_orderstatus"),
+        s"$base/orders_b", Seq("o_orderkey"), 8)
+      MothSpark.writeBucketed(
+        read(s, d, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity"),
+        s"$base/lineitem_b", Seq("l_orderkey"), 8)
+      val cat = s"mothspj_${Integer.toHexString(base.hashCode)}"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.spark.source.MothCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", base)
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.table(s"$cat.orders_b")
+        .join(s.table(s"$cat.lineitem_b"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"),
+          sum("l_linenumber").cast("long").as("sum_line"),
+          sum("l_orderkey").cast("long").as("sum_key"))
+        .orderBy("o_orderstatus")
+    }),
+
     // metadata (provenance) columns: _moth_file/_moth_pos synthesized by
     // the scan — one sorted file, so the row's file ordinal equals its
     // o_orderkey rank, which plain SQL (row_number) can reproduce exactly
@@ -435,6 +462,12 @@ object SparkEntry {
     "roundtrip_documents" -> "SELECT * FROM documents ORDER BY doc_id",
     "roundtrip_events" -> "SELECT * FROM events ORDER BY event_id",
     "streaming_roundtrip" -> "SELECT * FROM events ORDER BY event_id",
+    "spj_join" ->
+      """SELECT o_orderstatus, count(*) AS cnt,
+        |  cast(sum(l_linenumber) AS bigint) AS sum_line,
+        |  cast(sum(l_orderkey) AS bigint) AS sum_key
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "metadata_cols" ->
       """SELECT count(*) AS n_rows, cast(1 AS bigint) AS n_files,
         |  cast(count(*) - 1 AS bigint) AS max_pos,

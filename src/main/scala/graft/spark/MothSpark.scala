@@ -287,6 +287,39 @@ object MothSpark {
     counts.sorted.toSeq.map(pid => Manifest.read(Manifest.path(outDir, pid.toInt)))
   }
 
+  /** Writes a HASH-BUCKETED moth table: rows are placed so that partition k
+    * holds exactly bucket k (`bucket(n, cols) = pmod(xxhash64(cols), n)`,
+    * identity-remapped through precomputed murmur3 probe values so Spark's
+    * HashPartitioning puts bucket k literally on partition k), each task
+    * verify-and-tags its footer with (cols, n, id), and the DSv2 scan then
+    * reports KeyGroupedPartitioning over `bucket(n, cols)` — two tables
+    * written this way with the same (cols-types, n) JOIN WITHOUT A SHUFFLE
+    * on either side when loaded through [[graft.spark.source.MothCatalog]]
+    * with spark.sql.sources.v2.bucketing.enabled. Placement is fully
+    * content-deterministic (byte-identical resume, like EncodeJob hash
+    * mode).
+    */
+  def writeBucketed(df: DataFrame, dir: String, cols: Seq[String], buckets: Int,
+      codec: CompressionKind.Value = CompressionKind.ZLIB,
+      sortWithin: Seq[String] = Nil, saveMode: String = "overwrite"): Unit = {
+    import org.apache.spark.sql.functions._
+    require(cols.nonEmpty && buckets > 0)
+    val remap = EncodeJob.identityProbeValues(buckets)
+    val bucketExpr =
+      pmod(xxhash64(cols.map(col): _*), lit(buckets)).cast("int")
+    var placed = df
+      .withColumn("__rp", element_at(lit(remap), bucketExpr + 1))
+      .repartition(buckets, col("__rp"))
+      .drop("__rp")
+    if (sortWithin.nonEmpty)
+      placed = placed.sortWithinPartitions(sortWithin.map(col): _*)
+    val w = placed.write.format("moth").mode(saveMode)
+      .option("codec", codec.toString)
+      .option("bucketBy", s"$buckets;${cols.mkString(",")}")
+    (if (sortWithin.nonEmpty) w.option("sortedBy", sortWithin.mkString(","))
+     else w).save(dir)
+  }
+
   /** Reads a directory of MOTH files back as a DataFrame. Delegates to the
     * DataSourceV2 scan so projection pushdown, stats/bloom pruning,
     * stripe-range splits and reader lifecycle (close-on-task-end) all apply

@@ -146,6 +146,55 @@ object MothTable {
     }
   }
 
+  /** Verified bucket layout of a table: every file carries the SAME
+    * (cols, count) tag plus its own bucket id. `idOf` maps file → bucket.
+    */
+  final case class BucketLayout(cols: Seq[String], count: Int, idOf: Map[String, Int]) {
+    def distinctIds: Int = idOf.values.toSet.size
+  }
+
+  /** Memoized parallel probe for the table's bucket layout (same listing
+    * key + immutability contract as [[commonSortTag]]). One untagged or
+    * disagreeing file disables it — the table then joins with a shuffle.
+    */
+  private val bucketCache =
+    new java.util.LinkedHashMap[String, (Seq[String], Option[BucketLayout])](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, (Seq[String], Option[BucketLayout])]): Boolean =
+        size() > 256
+    }
+
+  def bucketLayout(path: String): Option[BucketLayout] = {
+    val files = listFiles(path)
+    bucketCache.synchronized(Option(bucketCache.get(path))) match {
+      case Some((cachedFiles, layout)) if cachedFiles == files => layout
+      case _ =>
+        val probed = parFiles(path).map { f =>
+          val rd = MothFileReader.fromPathCached(f)
+          try {
+            val m = rd.userMetadata
+            for {
+              cols <- m.get(MothBucket.ColsKey)
+              n <- m.get(MothBucket.CountKey).flatMap(_.toIntOption)
+              id <- m.get(MothBucket.IdKey).flatMap(_.toIntOption)
+            } yield (f, cols, n, id)
+          } finally rd.close()
+        }.seq
+        val layout =
+          if (probed.exists(_.isEmpty)) None
+          else {
+            val ps = probed.map(_.get)
+            val (c0, n0) = (ps.head._2, ps.head._3)
+            if (n0 > 0 && ps.forall(p => p._2 == c0 && p._3 == n0))
+              Some(BucketLayout(c0.split(",").toSeq.map(_.trim).filter(_.nonEmpty),
+                n0, ps.map(p => p._1 -> p._4).toMap))
+            else None
+          }
+        bucketCache.synchronized(bucketCache.put(path, (files, layout)))
+        layout
+    }
+  }
+
   /** Driver-side per-file planning parallelism: footer reads are IO-bound
     * and independent — a 100k-file table must not plan serially.
     */
@@ -230,7 +279,20 @@ class MothTable(path: String, tableSchema: StructType) extends Table
       // rows really arrive non-decreasing on these keys and records the
       // order in the footer; unsorted input is written fine, just untagged
       Option(info.options.get("sortedBy")).map(_.split(",").toSeq
-        .map(_.trim).filter(_.nonEmpty)).getOrElse(Nil))
+        .map(_.trim).filter(_.nonEmpty)).getOrElse(Nil),
+      // `option("bucketBy", "n;a,b")`: verify-and-tag bucket layout — each
+      // task checks every row hashes to ONE bucket (MothBucket semantics)
+      // and records (cols, count, id) in the footer; mixed-bucket input is
+      // written fine, just untagged (and the table then joins with a
+      // shuffle like any other)
+      Option(info.options.get("bucketBy")).flatMap { v =>
+        v.split(";", 2) match {
+          case Array(n, cols) =>
+            val c = cols.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+            n.trim.toIntOption.filter(_ > 0).filter(_ => c.nonEmpty).map((_, c))
+          case _ => None
+        }
+      })
 }
 
 /** DSv2 write: `df.write.format("moth").mode("append"|"overwrite").save(dir)`.
@@ -240,16 +302,18 @@ class MothTable(path: String, tableSchema: StructType) extends Table
   * through its writer API; this is the engine's Catalyst-facing face.
   */
 class MothWriteBuilder(path: String, schema: StructType, queryId: String,
-    codec: CompressionKind.Value, sortedBy: Seq[String] = Nil)
+    codec: CompressionKind.Value, sortedBy: Seq[String] = Nil,
+    bucketBy: Option[(Int, Seq[String])] = None)
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
   override def build(): Write =
-    new MothWrite(path, schema, queryId, codec, doTruncate, sortedBy)
+    new MothWrite(path, schema, queryId, codec, doTruncate, sortedBy, bucketBy)
 }
 
 class MothWrite(path: String, schema: StructType, queryId: String,
-    codec: CompressionKind.Value, truncate: Boolean, sortedBy: Seq[String] = Nil)
+    codec: CompressionKind.Value, truncate: Boolean, sortedBy: Seq[String] = Nil,
+    bucketBy: Option[(Int, Seq[String])] = None)
     extends Write with BatchWrite {
   import org.apache.hadoop.fs.Path
   import graft.core.file.Sources
@@ -276,7 +340,7 @@ class MothWrite(path: String, schema: StructType, queryId: String,
           s"moth append schema mismatch: dir has $have, writing $schema")
       }
     }
-    MothDataWriterFactory(path, schema, queryId, codec, sortedBy)
+    MothDataWriterFactory(path, schema, queryId, codec, sortedBy, bucketBy)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -302,16 +366,17 @@ class MothWrite(path: String, schema: StructType, queryId: String,
 case class MothCommit(fileName: String) extends WriterCommitMessage
 
 case class MothDataWriterFactory(path: String, schema: StructType, queryId: String,
-    codec: CompressionKind.Value, sortedBy: Seq[String] = Nil) extends DataWriterFactory {
+    codec: CompressionKind.Value, sortedBy: Seq[String] = Nil,
+    bucketBy: Option[(Int, Seq[String])] = None) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     HadoopConfSync.ensure()
-    new MothDataWriter(path, schema, queryId, codec, partitionId, taskId, sortedBy)
+    new MothDataWriter(path, schema, queryId, codec, partitionId, taskId, sortedBy, bucketBy)
   }
 }
 
 class MothDataWriter(path: String, schema: StructType, queryId: String,
     codec: CompressionKind.Value, partitionId: Int, taskId: Long,
-    sortedBy: Seq[String] = Nil)
+    sortedBy: Seq[String] = Nil, bucketBy: Option[(Int, Seq[String])] = None)
     extends DataWriter[InternalRow] {
   import org.apache.hadoop.fs.Path
   // storage-agnostic output: attempt-private tmp created via the path's
@@ -329,6 +394,13 @@ class MothDataWriter(path: String, schema: StructType, queryId: String,
         !idx.forall(i => graft.spark.MothSpark.sortTagEligible(schema(i).dataType))) null
     else new graft.spark.MothSpark.SortChecker(idx.toArray)
   }
+  private val bucketCheck = bucketBy match {
+    case Some((n, cols)) if cols.forall(schema.fieldNames.contains) &&
+        cols.forall(c => MothBucket.eligible(schema(schema.fieldIndex(c)).dataType)) =>
+      new MothBucket.Verifier(n,
+        cols.map(c => (schema.fieldIndex(c), schema(schema.fieldIndex(c)).dataType)).toArray)
+    case _ => null
+  }
 
   private def flushBatch(): Unit = {
     val v = batch.build()
@@ -337,6 +409,7 @@ class MothDataWriter(path: String, schema: StructType, queryId: String,
   }
 
   override def write(row: InternalRow): Unit = {
+    if (bucketCheck != null) bucketCheck.update(row)
     batch.add(row)
     if (batch.count == graft.spark.MothSpark.BatchSize) flushBatch()
   }
@@ -345,6 +418,17 @@ class MothDataWriter(path: String, schema: StructType, queryId: String,
     if (batch.count > 0) flushBatch()
     if (checker != null && checker.ok)
       writer.addUserMetadata(graft.spark.MothSpark.SortedByKey, sortedBy.mkString(","))
+    if (bucketCheck != null && bucketCheck.ok) {
+      val (n, cols) = bucketBy.get
+      writer.addUserMetadata(MothBucket.ColsKey, cols.mkString(","))
+      writer.addUserMetadata(MothBucket.CountKey, n.toString)
+      // an EMPTY file verified vacuously: tag it with the task's partition
+      // id — under MothSpark.writeBucketed placement partition id == bucket
+      // id, and for foreign placements an empty file's tag constrains
+      // nothing (a bucket group gaining an empty file stays correct)
+      writer.addUserMetadata(MothBucket.IdKey,
+        (if (bucketCheck.observed >= 0) bucketCheck.observed else partitionId).toString)
+    }
     writer.close()
     fos.close()
     val dst = new Path(path, fileName)
@@ -858,9 +942,49 @@ class MothScan(path: String, required: StructType, predicate: StatsPredicate,
     readerOpts: graft.core.file.ReaderOpts = graft.core.file.ReaderOpts(),
     limit: Option[Int] = None, topN: Option[Int] = None)
     extends Scan with Batch with SupportsReportStatistics
-    with SupportsRuntimeFiltering with SupportsReportOrdering {
+    with SupportsRuntimeFiltering with SupportsReportOrdering
+    with SupportsReportPartitioning {
 
   override def readSchema(): StructType = required
+
+  /** Bucket layout usable for THIS scan: the verified table layout, and
+    * every bucket column survives projection (Catalyst drops a reported
+    * partitioning whose references left the output).
+    */
+  private lazy val bucketing: Option[MothTable.BucketLayout] =
+    MothTable.bucketLayout(path).filter(
+      _.cols.forall(c => required.fieldNames.contains(c)))
+
+  /** Storage-partitioned joins: the scan reports its files' VERIFIED
+    * bucket layout as a KeyGroupedPartitioning over `bucket(n, cols)`.
+    * With spark.sql.sources.v2.bucketing.enabled, two moth tables
+    * co-bucketed on their join keys then sort-merge/hash join with NO
+    * shuffle on either side — at 100 TB the single largest shuffle
+    * elision available to a fact⋈fact join. The transform resolves
+    * through [[MothCatalog]]'s `bucket` function, so this fires for
+    * catalog-loaded tables (path reads have no function catalog and
+    * fall back to shuffles, correct either way).
+    */
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    bucketing match {
+      case Some(bl) =>
+        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+          Array(org.apache.spark.sql.connector.expressions.Expressions.bucket(
+            bl.count, bl.cols: _*)),
+          bl.distinctIds)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+    }
+
+  /** Split constructor: bucket-tagged tables emit key-carrying splits so
+    * Spark can group them per bucket.
+    */
+  private def mkSplit(f: String, s: Long, e: Long): InputPartition =
+    bucketing match {
+      case Some(bl) => MothBucketedPartition(f, s, e, bl.idOf(f))
+      case None => MothInputPartition(f, s, e)
+    }
 
   /** Per-partition ordering from the files' verified footer sort tags.
     * Every split — whole file or stripe range — is a contiguous prefix/run
@@ -938,14 +1062,14 @@ class MothScan(path: String, required: StructType, predicate: StatsPredicate,
       try {
         val stripes = rd.footer.stripes
         if (stripes.isEmpty) {
-          out += MothInputPartition(f, 0L, Long.MaxValue)
+          out += mkSplit(f, 0L, Long.MaxValue)
           acc += rd.rowCount
         } else {
           val it = stripes.iterator
           while (acc < n && it.hasNext) {
             val s = it.next()
             val len = s.indexLength + s.dataLength + s.footerLength
-            out += MothInputPartition(f, s.offset, s.offset + len)
+            out += mkSplit(f, s.offset, s.offset + len)
             acc += s.numberOfRows
           }
         }
@@ -964,15 +1088,15 @@ class MothScan(path: String, required: StructType, predicate: StatsPredicate,
       val rd = MothFileReader.fromPathCached(f)
       try {
         val stripes = rd.footer.stripes
-        if (stripes.isEmpty) Seq(MothInputPartition(f, 0L, Long.MaxValue))
+        if (stripes.isEmpty) Seq(mkSplit(f, 0L, Long.MaxValue))
         else {
-          val out = scala.collection.mutable.ArrayBuffer[MothInputPartition]()
+          val out = scala.collection.mutable.ArrayBuffer[InputPartition]()
           var acc = 0L
           val it = stripes.iterator
           while (acc < n && it.hasNext) {
             val s = it.next()
             val len = s.indexLength + s.dataLength + s.footerLength
-            out += MothInputPartition(f, s.offset, s.offset + len)
+            out += mkSplit(f, s.offset, s.offset + len)
             acc += s.numberOfRows
           }
           out.toSeq
@@ -1001,7 +1125,7 @@ class MothScan(path: String, required: StructType, predicate: StatsPredicate,
         if (!pred.matches(rd.columnIdOf, c => rd.fileStats.lift(c), _ => None,
             rd.trustDoubleStats))
           Nil
-        else if (stripes.isEmpty) Seq(MothInputPartition(f, 0L, Long.MaxValue))
+        else if (stripes.isEmpty) Seq(mkSplit(f, 0L, Long.MaxValue))
         else {
           val groups = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
           var start = stripes.head.offset
@@ -1018,7 +1142,7 @@ class MothScan(path: String, required: StructType, predicate: StatsPredicate,
             end = s.offset + len
           }
           groups += ((start, Long.MaxValue)) // last split owns the tail
-          groups.map { case (s, e) => MothInputPartition(f, s, e) }
+          groups.map { case (s, e) => mkSplit(f, s, e) }
         }
       } finally rd.close()
     }.toArray
@@ -1053,15 +1177,33 @@ class MothScan(path: String, required: StructType, predicate: StatsPredicate,
   }
 }
 
+/** A split of a moth file: whole file or a [start,end) stripe byte range. */
+sealed trait MothSplit extends InputPartition {
+  def file: String
+  def start: Long
+  def end: Long
+}
+
 case class MothInputPartition(file: String, start: Long, end: Long)
-    extends InputPartition
+    extends MothSplit
+
+/** Split of a bucket-tagged file: carries the bucket id as its partition
+  * key so Spark groups co-bucket splits into one task per bucket
+  * (KeyGroupedPartitioning) — the storage-partitioned join unit.
+  */
+case class MothBucketedPartition(file: String, start: Long, end: Long, bucketId: Int)
+    extends MothSplit with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bucketId))
+}
 
 case class MothReaderFactory(required: StructType, predicate: StatsPredicate,
     readerOpts: graft.core.file.ReaderOpts = graft.core.file.ReaderOpts())
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     HadoopConfSync.ensure()
-    val p = partition.asInstanceOf[MothInputPartition]
+    val p = partition.asInstanceOf[MothSplit]
     new MothPartitionReader(p, required, predicate, readerOpts)
   }
 
@@ -1073,12 +1215,12 @@ case class MothReaderFactory(required: StructType, predicate: StatsPredicate,
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     HadoopConfSync.ensure()
-    val p = partition.asInstanceOf[MothInputPartition]
+    val p = partition.asInstanceOf[MothSplit]
     new MothColumnarPartitionReader(p, required, predicate, readerOpts)
   }
 }
 
-class MothColumnarPartitionReader(part: MothInputPartition, required: StructType,
+class MothColumnarPartitionReader(part: MothSplit, required: StructType,
     predicate: StatsPredicate,
     readerOpts: graft.core.file.ReaderOpts = graft.core.file.ReaderOpts())
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
@@ -1126,7 +1268,7 @@ class MothColumnarPartitionReader(part: MothInputPartition, required: StructType
     Array(MothTaskMetric("mothBytesRead", reader.bytesRead))
 }
 
-class MothPartitionReader(part: MothInputPartition, required: StructType,
+class MothPartitionReader(part: MothSplit, required: StructType,
     predicate: StatsPredicate,
     readerOpts: graft.core.file.ReaderOpts = graft.core.file.ReaderOpts())
     extends PartitionReader[InternalRow] {

@@ -64,6 +64,8 @@ class BenchStateSpec extends AnyFunSuite {
     Files.writeString(root.resolve("sub/B.scala"), "object B { val x = 1 }")
     assert(Bench.buildFingerprint(root) != fp1,
       "changing a source file must change the fingerprint")
-    assert(Bench.buildFingerprint(root.resolve("missing")) == "unknown")
+    // a missing source root must FAIL, not key state to a shared sentinel
+    assertThrows[IllegalArgumentException](
+      Bench.buildFingerprint(root.resolve("missing")))
   }
 }

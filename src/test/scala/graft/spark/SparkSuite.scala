@@ -1171,11 +1171,18 @@ class SparkSuite extends AnyFunSuite with BeforeAndAfterAll {
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     import graft.spark.source.MothFilters
     val schema = StructType(Seq(StructField("k", LongType)))
-    // over the cap: planning-time pruning opts out (no 10k-branch OrPred
-    // evaluated per file/stripe/row-group)
+    // over the Or-of-Eq cap: converts to ONE sorted-membership predicate
+    // (binary search per unit), not a 10k-branch OrPred
     val big = In("k", (0L until 10000L).map(_.asInstanceOf[Any]).toArray)
-    assert(MothFilters.toPreds(schema, big).isEmpty, "oversized isin must not convert")
-    // at the cap: still converts
+    assert(MothFilters.toPreds(schema, big) match {
+      case Seq(graft.core.file.LongInPred("k", sorted)) => sorted.length == 10000
+      case _ => false
+    }, "10k isin must convert to a single sorted-membership predicate")
+    // over MaxInListSorted: planning-time pruning opts out entirely
+    val huge = In("k", (0L until MothFilters.MaxInListSorted + 1L)
+      .map(_.asInstanceOf[Any]).toArray)
+    assert(MothFilters.toPreds(schema, huge).isEmpty, "oversized isin must not convert")
+    // at the Or-of-Eq cap: still converts (bloom-tested Eq disjunction)
     val ok = In("k", (0L until MothFilters.MaxInListPushdown.toLong)
       .map(_.asInstanceOf[Any]).toArray)
     assert(MothFilters.toPreds(schema, ok).nonEmpty)
