@@ -38,7 +38,7 @@ object Bench {
     */
   final case class Trial(secs: Double, rows: Long, rawBytes: Long,
       fileBytes: Long, calibMs: Long, calibAluMs: Long,
-      meanMs: Long = 0L, meanAluMs: Long = 0L)
+      meanMs: Long = 0L, meanAluMs: Long = 0L, decodeSecs: Double = 0.0)
 
   /** Content fingerprint of the engine build: SHA-256 over every file
     * under src/main (path + bytes), truncated to 16 hex chars. Persisted
@@ -92,7 +92,8 @@ object Bench {
   final case class QuietState(turns: Long, coresN: Int, ratio: Double,
       histN: List[Double], hist4N: List[Double],
       confirmed: Option[(Double, Double, Double, String)], ts: String,
-      fp: String = "unknown") {
+      fp: String = "unknown",
+      decN: List[Double] = Nil, dec4N: List[Double] = Nil) {
     def save(p: java.nio.file.Path): Unit = {
       Files.createDirectories(p.getParent)
       def arr(xs: List[Double]) = xs.map(x => f"$x%.2f").mkString("[", ",", "]")
@@ -101,7 +102,8 @@ object Bench {
       }.getOrElse("")
       Files.writeString(p,
         f"""{"turns":$turns,"coresN":$coresN,"ratio":$ratio%.2f,"fp":"$fp","""+
-        s""""histN":${arr(histN)},"hist4N":${arr(hist4N)},"ts":"$ts"$conf}""")
+        s""""histN":${arr(histN)},"hist4N":${arr(hist4N)},"""+
+        s""""decN":${arr(decN)},"dec4N":${arr(dec4N)},"ts":"$ts"$conf}""")
     }
   }
 
@@ -147,7 +149,47 @@ object Bench {
         c <- num("coresN").map(_.toInt) if c == coresN
         ratio <- num("ratio")
         ts <- str("ts")
-      } yield QuietState(t, c, ratio, arr("histN"), arr("hist4N"), confirmed, ts, fileFp)
+      } yield QuietState(t, c, ratio, arr("histN"), arr("hist4N"), confirmed, ts, fileFp,
+        arr("decN"), arr("dec4N"))
+    }
+  }
+
+  /** Per-query best-known-quiet timings, fp-keyed exactly like QuietState:
+    * the committed BENCH artifact must not present a storm window's query
+    * walls as a regression (round-4 verdict: the 54.83s vs 39.84s artifact
+    * could not distinguish weather from a real slowdown). Rows merge as
+    * minima over QUIET-classified runs only; a state from another build is
+    * archived unread.
+    */
+  final case class QueryState(fp: String, sf: String,
+      queries: Map[String, Double], ts: String) {
+    def save(p: java.nio.file.Path): Unit = {
+      Files.createDirectories(p.getParent)
+      val qs = queries.toSeq.sortBy(_._1)
+        .map { case (k, v) => f""""$k":$v%.3f""" }.mkString(",")
+      Files.writeString(p,
+        s"""{"fp":"$fp","sf":"$sf","ts":"$ts","queries":{$qs}}""")
+    }
+  }
+
+  object QueryState {
+    def load(p: java.nio.file.Path, expectedFp: String, sf: String): Option[QueryState] = {
+      if (!Files.exists(p)) return None
+      val s = Files.readString(p)
+      def str(k: String): Option[String] =
+        ("\"" + k + "\"\\s*:\\s*\"([^\"]*)\"").r.findFirstMatchIn(s).map(_.group(1))
+      val fileFp = str("fp").getOrElse("unknown")
+      if (fileFp != expectedFp) {
+        val stale = p.resolveSibling(s"${p.getFileName}.stale-$fileFp")
+        Files.move(p, stale, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        println(s"  query-state fingerprint $fileFp != build $expectedFp: " +
+          s"archived to $stale, starting fresh query history")
+        return None
+      }
+      if (!str("sf").contains(sf)) return None
+      val qs = ("\"([A-Za-z0-9_]+)\"\\s*:\\s*([0-9.]+)").r.findAllMatchIn(s)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      Some(QueryState(fileFp, sf, qs, str("ts").getOrElse("")))
     }
   }
 
@@ -251,7 +293,7 @@ object Bench {
     if (sys.env.contains("SPARK_GRAFT_STAGE_DEBUG"))
       out.linesIterator.filter(_.startsWith("STAGE[")).foreach(l => println("  " + l))
     val m = java.util.regex.Pattern
-      .compile("BENCHCHILD (\\S+) (\\d+) (\\d+) (\\d+) (\\d+)").matcher(out)
+      .compile("BENCHCHILD (\\S+) (\\d+) (\\d+) (\\d+) (\\d+)(?: (\\S+))?").matcher(out)
     require(m.find(), s"child failed:\n${out.takeRight(3000)}")
     val childCalib = m.group(5).toLong
     // a trial with NO concurrent samples (child died / diagnostic tiny run)
@@ -261,7 +303,8 @@ object Bench {
     val meanAlu = if (nSamples == 0) Long.MaxValue else sumAlu / nSamples
     Trial(m.group(1).toDouble, m.group(2).toLong, m.group(3).toLong,
       m.group(4).toLong, math.max(childCalib, worstCalib), worstAlu,
-      meanMem, meanAlu)
+      meanMem, meanAlu,
+      Option(m.group(6)).map(_.toDouble).getOrElse(0.0))
   }
 
   /** Noise-invariant pair: run the N-core and 4N-core children AT THE SAME
@@ -315,37 +358,86 @@ object Bench {
     // the engine is evidenced in the regime where hardware scales cleanly.
     val scaleN = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "2").toInt
 
-    // 1) driver-contract query timings (skippable for scaling-only iteration)
-    val results = if (sys.env.contains("SPARK_GRAFT_SCALING_ONLY")) Nil else {
-      val spark = session(cpus)
-      spark.conf.set("spark.sql.shuffle.partitions", cpus.toString)
-      // session/JIT warmup so the alphabetically-first query doesn't absorb
-      // scheduler + codegen + encode-path class-load costs
-      try {
-        spark.range(100000).selectExpr("sum(id)").collect()
-        graft.spark.MothSpark.roundtrip(
-          spark.read.parquet(s"$sfDir/nation.parquet")).count()
-      } catch { case _: Throwable => }
-      val r = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
-        catch {
-          case _: Throwable =>
-            try fn(spark, sfDir).count() catch { case _: Throwable => }
-        }
-        name -> (System.nanoTime() - t0) / 1e9
-      }
-      spark.stop()
-      r
-    }
+    // quiet floors (see the scaling section below for the rationale) — also
+    // gate the per-query rows now
+    val minMem = sys.env.getOrElse("SPARK_GRAFT_FLOOR_MEM", "220").toLong
+    val minAlu = sys.env.getOrElse("SPARK_GRAFT_FLOOR_ALU", "265").toLong
+    val buildFp = buildFingerprint()
+    val nowIso = java.time.Instant.now().toString
 
-    // queries-only iteration mode: print per-query timings, skip scaling
-    // and leave BENCH/BASELINE.md untouched
+    // 1) driver-contract query timings (skippable for scaling-only
+    // iteration), each row QUIET-CLASSIFIED: a probe sampler runs
+    // alongside the suite, and a query is quiet iff every probe sample in
+    // its (padded) window sat near the host floors. Quiet rows merge into
+    // the fp-keyed per-query history below; loud rows never do.
+    val results: Seq[(String, Double, Boolean)] =
+      if (sys.env.contains("SPARK_GRAFT_SCALING_ONLY")) Nil else {
+        val spark = session(cpus)
+        spark.conf.set("spark.sql.shuffle.partitions", cpus.toString)
+        // session/JIT warmup so the alphabetically-first query doesn't absorb
+        // scheduler + codegen + encode-path class-load costs
+        try {
+          spark.range(100000).selectExpr("sum(id)").collect()
+          graft.spark.MothSpark.roundtrip(
+            spark.read.parquet(s"$sfDir/nation.parquet")).count()
+        } catch { case _: Throwable => }
+        val samples = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+        @volatile var sampling = true
+        val sampler = new Thread(() => {
+          try while (sampling) {
+            val m = BenchChild.calibrate()
+            val a = BenchChild.calibrateAlu()
+            samples.synchronized(samples += ((System.currentTimeMillis(), m, a)))
+            Thread.sleep(3000)
+          } catch { case _: InterruptedException => }
+        })
+        sampler.setDaemon(true)
+        sampler.start()
+        val timed = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+          val w0 = System.currentTimeMillis()
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
+          catch {
+            case _: Throwable =>
+              try fn(spark, sfDir).count() catch { case _: Throwable => }
+          }
+          (name, (System.nanoTime() - t0) / 1e9, w0, System.currentTimeMillis())
+        }
+        sampling = false
+        sampler.interrupt()
+        sampler.join(2000)
+        spark.stop()
+        val snap = samples.synchronized(samples.toSeq)
+        timed.map { case (name, secs, w0, w1) =>
+          val win = snap.filter(t => t._1 >= w0 - 5000 && t._1 <= w1 + 5000)
+          val quiet = win.nonEmpty &&
+            win.forall(t => t._2 <= minMem * 1.2 && t._3 <= minAlu * 1.2)
+          (name, secs, quiet)
+        }
+      }
+
+    // queries-only iteration mode: print per-query timings (with quiet
+    // classification), skip scaling and leave all committed state untouched
     if (sys.env.contains("SPARK_GRAFT_QUERIES_ONLY")) {
-      val qs0 = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
-      println(f"""{"metric":"queries","value":${results.map(_._2).sum}%.2f,"unit":"sec","queries":$qs0,"sf":"$sfDir"}""")
+      val qs0 = results.map { case (k, v, _) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+      println(f"""{"metric":"queries","value":${results.map(_._2).sum}%.2f,"unit":"sec","queries":$qs0,"quietRows":${results.count(_._3)},"rows":${results.size},"sf":"$sfDir"}""")
       return
     }
+
+    // fp-keyed per-query history: quiet rows merge as minima; the reported
+    // rows are best-known-quiet, so a storm run can no longer masquerade as
+    // a regression in the committed artifact
+    val qStatePath =
+      if (new java.io.File(sfDir).getName == "sf0.1") Paths.get("BENCH/query_state.json")
+      else Paths.get(s"BENCH/query_state_${new java.io.File(sfDir).getName}.json")
+    val priorQ = QueryState.load(qStatePath, buildFp, sfDir)
+    val histQ = priorQ.map(_.queries).getOrElse(Map.empty)
+    val quietQ = results.collect { case (k, v, true) => k -> v }.toMap
+    val mergedQ: Map[String, Double] = (histQ.keySet ++ quietQ.keySet).map { k =>
+      k -> math.min(histQ.getOrElse(k, Double.MaxValue),
+        quietQ.getOrElse(k, Double.MaxValue))
+    }.toMap
+    if (quietQ.nonEmpty) QueryState(buildFp, sfDir, mergedQ, nowIso).save(qStatePath)
 
     // 2) scaling evidence: N=8 vs 4N=32 cores, identical input
     val tmp = Files.createTempDirectory(Paths.get("/dev/shm"), "graft-bench").toString
@@ -380,9 +472,8 @@ object Bench {
     // gating: letting single probe readings tighten them retroactively
     // disqualifies earlier quiet trials on probe jitter (observed: one fast
     // ALU sample raised a level's quiet minimum 44%). Session minima are
-    // reported as diagnostics only.
-    val minMem = sys.env.getOrElse("SPARK_GRAFT_FLOOR_MEM", "220").toLong
-    val minAlu = sys.env.getOrElse("SPARK_GRAFT_FLOOR_ALU", "265").toLong
+    // reported as diagnostics only. (minMem/minAlu defined above, shared
+    // with the per-query gate.)
     var obsMem = Long.MaxValue
     var obsAlu = Long.MaxValue
     // ABSOLUTE quiet gate: a trial is quiet iff the MEAN of its concurrent
@@ -429,7 +520,6 @@ object Bench {
     val statePath =
       if (scaleN == 2 && benchTurns == 2000000L) Paths.get("BENCH/quiet_state.json")
       else Paths.get(s"BENCH/quiet_state_c${scaleN}_t$benchTurns.json")
-    val buildFp = buildFingerprint()
     val priorState: Option[QuietState] =
       QuietState.load(statePath, benchTurns, scaleN, buildFp)
     // Storms last 30-120 min; without a persisted quiet result the run must
@@ -508,7 +598,6 @@ object Bench {
     // whether the two samples came from one run or two). Zero quiet trials
     // ever seen on a level is NO-EVIDENCE — storm minima are reported only
     // as a last resort and labeled as such.
-    val nowIso = java.time.Instant.now().toString
     // Optional one-time ingest of PRIOR bench logs (comma-separated paths):
     // their trial lines re-gate under the same quiet rule and merge into the
     // histories — real measurements of the same deterministic workload that
@@ -547,6 +636,12 @@ object Bench {
       quiet(trialsN ++ ingestN).map(_.secs)).distinct.sorted.take(8)
     val merged4N = (priorState.map(_.hist4N).getOrElse(Nil) ++
       quiet(trials4N ++ ingest4N).map(_.secs)).distinct.sorted.take(8)
+    // decode-side (read path) quiet histories: same estimator, same gate —
+    // the north rule's number stays encode, the read path is evidenced too
+    val mergedDecN = (priorState.map(_.decN).getOrElse(Nil) ++
+      quiet(trialsN).map(_.decodeSecs).filter(_ > 0)).distinct.sorted.take(8)
+    val mergedDec4N = (priorState.map(_.dec4N).getOrElse(Nil) ++
+      quiet(trials4N).map(_.decodeSecs).filter(_ > 0)).distinct.sorted.take(8)
     def histConverged(h: List[Double]): Boolean =
       h.nonEmpty && h.count(_ <= h.min * 1.03) >= 2
     val convNow = histConverged(mergedN) && histConverged(merged4N)
@@ -560,7 +655,8 @@ object Bench {
         val (cn, c4) = (mergedN.min, merged4N.min)
         val ce = cn / (4.0 * c4)
         QuietState(benchTurns, scaleN, thisRatio, mergedN, merged4N,
-          Some((cn, c4, ce, nowIso)), nowIso, buildFp).save(statePath)
+          Some((cn, c4, ce, nowIso)), nowIso, buildFp,
+          mergedDecN, mergedDec4N).save(statePath)
         (cn, c4, ce, thisRatio,
           s"converged-quiet(historyN=${mergedN.size},history4N=${merged4N.size} quiet samples incl. prior runs)")
       } else {
@@ -568,7 +664,8 @@ object Bench {
         // keeps accumulating, then pick the best available evidence
         if (mergedN.nonEmpty || merged4N.nonEmpty)
           QuietState(benchTurns, scaleN, thisRatio, mergedN, merged4N,
-            priorConfirmed, nowIso, buildFp).save(statePath)
+            priorConfirmed, nowIso, buildFp,
+            mergedDecN, mergedDec4N).save(statePath)
         priorConfirmed match {
           // STALE-confirmed guard: if the histories have since seen a
           // meaningfully lower wall on either level, the old convergence
@@ -592,10 +689,12 @@ object Bench {
     val raw8 = thisRaw
     val bytes8 = thisBytes
 
-    // Scaling-only runs carry no fresh query timings; keep the previous
-    // run's query section instead of blanking the committed baseline.
+    // Scaling-only runs carry no fresh query timings; keep the fp-keyed
+    // query history (or, failing that, the previous BASELINE.md rows)
+    // instead of blanking the committed baseline.
     val prior: Seq[(String, Double)] =
       if (results.nonEmpty) Nil
+      else if (histQ.nonEmpty) histQ.toSeq.sortBy(_._1)
       else {
         val p = Paths.get("BENCH/BASELINE.md")
         if (!Files.exists(p)) Nil
@@ -610,12 +709,31 @@ object Bench {
             })
           .getOrElse(Nil)
       }
-    val effective = if (results.nonEmpty) results else prior
+    // Rows of record: best-known-quiet per query (fp-keyed history merged
+    // with this run's quiet rows); loud rows with no history fall back to
+    // this run's wall, labeled by the evidence counters below.
+    val effective: Seq[(String, Double)] =
+      if (results.nonEmpty) results.map { case (k, v, _) => k -> mergedQ.getOrElse(k, v) }
+      else prior
     val queriesCarried = results.isEmpty && prior.nonEmpty
+    val queriesQuietThisRun = results.count(_._3)
+    val queriesHistoryBacked = effective.count { case (k, _) => mergedQ.contains(k) }
     val qs = effective.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val total = effective.map(_._2).sum
     val r8 = rows8 / t8
     val r32 = rows4N / t32
+    // decode-side scaling report (quiet minima; converged when the minimum
+    // was reproduced within 3%, same rule as encode)
+    val decodeJson = (mergedDecN.headOption, mergedDec4N.headOption) match {
+      case (Some(dn), Some(d4)) =>
+        val conv = histConverged(mergedDecN) && histConverged(mergedDec4N)
+        val ev = if (conv) "converged-quiet"
+          else s"quiet-minima-unconverged(${mergedDecN.size}/${mergedDec4N.size})"
+        f""","decodeTN":$dn%.2f,"decodeT4N":$d4%.2f,""" +
+          f""""decodeScalingEfficiency":${dn / (4.0 * d4)}%.3f,"decodeEvidence":"$ev""""
+      case _ =>
+        ""","decodeEvidence":"NO-EVIDENCE: zero quiet decode samples""""
+    }
     val json =
       f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"sf":"$sfDir","""+
       f""""encode":{"turns":$benchTurns,"coresN":$scaleN,"tN":$t8%.2f,"t4N":$t32%.2f,"turnsPerSecN":$r8%.0f,"""+
@@ -627,6 +745,8 @@ object Bench {
       s""""quietFloorsMs":{"mem":$minMem,"alu":$minAlu},"""+
       s""""observedProbeMinMs":{"mem":${if (obsMem == Long.MaxValue) -1 else obsMem},"alu":${if (obsAlu == Long.MaxValue) -1 else obsAlu}},"""+
       s""""queriesCarriedOver":$queriesCarried,"""+
+      s""""queriesQuietThisRun":$queriesQuietThisRun,"queriesHistoryBacked":$queriesHistoryBacked,"""+
+      s""""queriesRows":${effective.size}$decodeJson,"""+
       s""""hostCalibSpread":"$calibSpread"}}"""
     println(json)
 
@@ -688,8 +808,26 @@ object Bench {
          || throughput @ local[$scaleN] | $r8%.0f turns/s |
          || throughput @ local[${scaleN * 4}] | $r32%.0f turns/s |
          || **scaling efficiency (4N vs N)** | **$eff%.3f** (gate ≥ 0.8) |
+         || decode (read-path) wall @ local[$scaleN] / local[${scaleN * 4}] | ${
+           (mergedDecN.headOption, mergedDec4N.headOption) match {
+             case (Some(dn), Some(d4)) => f"$dn%.2f s / $d4%.2f s"
+             case _ => "no quiet samples yet"
+           }} |
+         || decode scaling efficiency (4N vs N) | ${
+           (mergedDecN.headOption, mergedDec4N.headOption) match {
+             case (Some(dn), Some(d4)) => f"${dn / (4.0 * d4)}%.3f"
+             case _ => "-"
+           }} |
          || compression ratio (raw/encoded) | $ratio%.2fx |
          || query total @ $sfDir | $total%.2f s |
+         |
+         |Per-query rows are BEST-KNOWN-QUIET: quiet-classified runs (probe
+         |means at the host floors during each query's window) merge as
+         |minima into the fp-keyed BENCH/query_state.json; this run
+         |classified $queriesQuietThisRun/${results.size} rows quiet and
+         |$queriesHistoryBacked/${effective.size} reported rows are
+         |history-backed. Decode wall = full scan+decode+aggregate over the
+         |freshly-encoded moth output in the same child, same quiet gate.
          |
          |Per-query seconds: ${effective.map { case (k, v) => f"$k=$v%.2f" }.mkString(", ")}
          |""".stripMargin)

@@ -144,12 +144,29 @@ object BenchChild {
           "partitioning" -> mode)
       })
       val secs = (System.nanoTime() - t0) / 1e9
+      // DECODE-side scaling evidence: the read path (scan + decode + agg over
+      // the moth files the timed encode just wrote) measured at the same two
+      // parallelism levels. The aggregate touches the dominant text stream,
+      // an int stream and the dictionary role column, so the section is
+      // decode-bound, not agg-bound. Warmup over the warmup output first.
+      def decodePass(dir: String): Unit = {
+        import org.apache.spark.sql.functions._
+        spark.read.format("moth").load(dir)
+          .agg(count(lit(1)), sum(length(col("text"))),
+            sum(col("turn_idx").cast("long")), count(col("role")))
+          .collect()
+        ()
+      }
+      decodePass(s"$outDir-warmup")
+      val d0 = System.nanoTime()
+      decodePass(outDir)
+      val decodeSecs = (System.nanoTime() - d0) / 1e9
       val calib = math.max(calib1, calibrate())
       def grab(k: String): Long = {
         val m = java.util.regex.Pattern.compile("\"" + k + "\":(\\d+)").matcher(summary)
         if (m.find()) m.group(1).toLong else 0L
       }
-      println(f"BENCHCHILD $secs%.3f ${grab("rows")} ${grab("rawBytes")} ${grab("fileBytes")} $calib")
+      println(f"BENCHCHILD $secs%.3f ${grab("rows")} ${grab("rawBytes")} ${grab("fileBytes")} $calib $decodeSecs%.3f")
     } finally spark.stop()
   }
 }
