@@ -5,7 +5,7 @@
 set -u
 cd "$(dirname "$0")/.."
 for i in $(seq -w "$1" "$2"); do
-  log="BENCH/attempts/r4s_pass$i.log"
+  log="BENCH/attempts/r5_pass$i.log"
   [ -e "$log" ] && continue
   SPARK_GRAFT_SCALING_ONLY=1 SPARK_GRAFT_TRIALS=4 SPARK_GRAFT_BENCH_BUDGET=430 \
     sbt -batch "runMain graft.Bench" > "$log" 2>&1
