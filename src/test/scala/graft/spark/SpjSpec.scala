@@ -102,6 +102,43 @@ class SpjSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(joined.collect().map(_.toString).toSeq == expect)
   }
 
+  test("several files per bucket regroup into one task; still zero shuffles") {
+    val s = spark
+    import s.implicits._
+    val a = (0 until 3000).map(i => (i.toLong % 64, s"t$i")).toDF("k", "t")
+    // two write waves → two files per bucket (duplicate bucket ids across
+    // files), which Spark must group back into one task per bucket key
+    val b = facts(1000).withColumnRenamed("v", "w").withColumnRenamed("tag", "tagb")
+    MothSpark.writeBucketed(a, s"$warehouse/tsplit", Seq("k"), 4)
+    MothSpark.writeBucketed(a, s"$warehouse/tsplit", Seq("k"), 4, saveMode = "append")
+    MothSpark.writeBucketed(b, s"$warehouse/tsplit_r", Seq("k"), 4)
+    val layout = MothTable.bucketLayout(s"$warehouse/tsplit")
+    assert(layout.exists(_.idOf.size == 8), s"expected 8 tagged files, got $layout")
+    val joined = spark.table("mothcat.tsplit").as("l")
+      .join(spark.table("mothcat.tsplit_r").as("r"), col("l.k") === col("r.k"))
+      .groupBy(col("l.k")).agg(count(lit(1)).as("cnt"))
+    assert(shuffles(joined) == 0,
+      s"file regrouping must keep the join shuffle-free:\n${joined.queryExecution.executedPlan}")
+    val expect = a.unionAll(a).join(b, "k").groupBy("k")
+      .agg(count(lit(1)).as("cnt")).orderBy("k").collect().map(_.toString).toSeq
+    assert(joined.orderBy(col("l.k")).collect().map(_.toString).toSeq == expect)
+  }
+
+  test("mismatched bucket counts fall back to a shuffle join, results exact") {
+    val s = spark
+    import s.implicits._
+    val d = facts(1500).withColumnRenamed("v", "z").withColumnRenamed("tag", "tag4")
+    MothSpark.writeBucketed(d, s"$warehouse/td16", Seq("k"), 16)
+    val joined = spark.table("mothcat.ta").join(spark.table("mothcat.td16"), "k")
+      .agg(count(lit(1)).as("cnt"), sum("z").cast("long").as("sz"))
+    // bucket(8, k) vs bucket(16, k): not co-partitioned — Spark must shuffle
+    assert(shuffles(joined) > 0, "mismatched bucket counts must shuffle")
+    val expect = facts(4000).join(d, "k")
+      .agg(count(lit(1)).as("cnt"), sum("z").cast("long").as("sz"))
+      .collect().map(_.toString).toSeq
+    assert(joined.collect().map(_.toString).toSeq == expect)
+  }
+
   test("bucket function, writer tags, and SQL placement all agree") {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.unsafe.types.UTF8String
