@@ -52,6 +52,37 @@ class BenchStateSpec extends AnyFunSuite {
     assert(!Files.exists(p))
   }
 
+  test("decode histories round-trip; absent in old states reads as empty") {
+    val dir = Files.createTempDirectory("bench-state")
+    val p = dir.resolve("quiet_state.json")
+    Bench.QuietState(2000000L, 2, 2.76, List(25.12), List(7.12), None,
+      "2026-08-18T00:00:00Z", fpA, decN = List(7.94, 8.08), dec4N = List(2.15)).save(p)
+    val back = Bench.QuietState.load(p, 2000000L, 2, fpA).get
+    assert(back.decN == List(7.94, 8.08) && back.dec4N == List(2.15))
+    // a round-4-era state (no decN/dec4N) still loads, with empty decode
+    Files.writeString(p,
+      s"""{"turns":2000000,"coresN":2,"ratio":2.76,"fp":"$fpA","histN":[26.02],"hist4N":[7.18],"ts":"x"}""")
+    val old = Bench.QuietState.load(p, 2000000L, 2, fpA).get
+    assert(old.decN.isEmpty && old.dec4N.isEmpty)
+  }
+
+  test("QueryState: fp-keyed load/save, foreign fp archived, sf mismatch ignored") {
+    val dir = Files.createTempDirectory("bench-qstate")
+    val p = dir.resolve("query_state.json")
+    val qs = Map("q1_agg" -> 1.234, "roundtrip_nation" -> 0.342)
+    Bench.QueryState(fpA, "/data/sf0.1", qs, "2026-08-18T00:00:00Z").save(p)
+    val back = Bench.QueryState.load(p, fpA, "/data/sf0.1")
+    assert(back.exists(_.queries == Map("q1_agg" -> 1.234, "roundtrip_nation" -> 0.342)))
+    // a different sf must not serve this file's minima
+    assert(Bench.QueryState.load(p, fpA, "/data/sf0.01").isEmpty)
+    assert(Files.exists(p), "sf mismatch must not archive the state")
+    // a foreign build's state is archived unread
+    assert(Bench.QueryState.load(p, fpB, "/data/sf0.1").isEmpty)
+    assert(!Files.exists(p))
+    val archived = Files.list(dir).iterator().asScala.map(_.getFileName.toString).toSeq
+    assert(archived.exists(_.startsWith("query_state.json.stale-" + fpA)), s"$archived")
+  }
+
   test("buildFingerprint reflects file content and is stable") {
     val root = Files.createTempDirectory("fp-src")
     Files.writeString(root.resolve("A.scala"), "object A")
