@@ -139,6 +139,30 @@ class SpjSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(joined.collect().map(_.toString).toSeq == expect)
   }
 
+  test("catalog surface: list/exists/drop over warehouse directories") {
+    import org.apache.spark.sql.connector.catalog.Identifier
+    val cat = new graft.spark.source.MothCatalog
+    cat.initialize("t",
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of("warehouse", warehouse)))
+    val names = cat.listTables(Array.empty).map(_.name()).toSet
+    assert(names.contains("ta") && names.contains("tb"), s"listTables: $names")
+    assert(cat.tableExists(Identifier.of(Array.empty, "ta")))
+    assert(!cat.tableExists(Identifier.of(Array.empty, "nope")))
+    assertThrows[org.apache.spark.sql.catalyst.analysis.NoSuchTableException](
+      cat.loadTable(Identifier.of(Array.empty, "nope")))
+    // drop removes the directory; the listing reflects it
+    val s = spark
+    import s.implicits._
+    Seq((1L, "x")).toDF("k", "t").write.format("moth").mode("overwrite")
+      .save(s"$warehouse/tdrop")
+    assert(cat.tableExists(Identifier.of(Array.empty, "tdrop")))
+    assert(cat.dropTable(Identifier.of(Array.empty, "tdrop")))
+    assert(!cat.tableExists(Identifier.of(Array.empty, "tdrop")))
+    // SQL resolution through the registered catalog works end-to-end
+    assert(spark.sql("SELECT count(*) AS n FROM mothcat.ta").head.getLong(0) == 4000L)
+  }
+
   test("bucket function, writer tags, and SQL placement all agree") {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.unsafe.types.UTF8String
