@@ -54,6 +54,15 @@ class PruneSoundnessSpec extends AnyFunSuite {
         }
       case _ => false
     }
+    case LongInPred(_, sorted) => vs.exists {
+      case Some(v: Long) => java.util.Arrays.binarySearch(sorted, v) >= 0
+      case _ => false
+    }
+    case StringInPred(_, sortedUtf8) => vs.exists {
+      case Some(v: String) =>
+        sortedUtf8.exists(java.util.Arrays.equals(_, v.getBytes("UTF-8")))
+      case _ => false
+    }
     case IsNullPred(_) => vs.exists(_.isEmpty)
     case IsNotNullPred(_) => vs.exists(_.nonEmpty)
   }
@@ -149,13 +158,17 @@ class PruneSoundnessSpec extends AnyFunSuite {
         case _ => (rnd.nextInt(240) - 120).toLong
       }
       def leaf(): LeafPred = kind match {
-        case KLong | KDate | KTs => rnd.nextInt(4) match {
+        case KLong | KDate | KTs => rnd.nextInt(5) match {
           case 0 => LongEqPred("c", someVal(longBound()))
           case 1 => LongRangePred("c", Some(longBound()), None)
           case 2 => LongRangePred("c", None, Some(longBound()))
-          case _ =>
+          case 3 =>
             val (a, b) = (longBound(), longBound())
             LongRangePred("c", Some(math.min(a, b)), Some(math.max(a, b)))
+          case _ => // sorted-membership (large-IN path), mixing real values in
+            val k = 1 + rnd.nextInt(6)
+            val values = Seq.fill(k)(someVal(longBound()))
+            LongInPred("c", values.distinct.sorted.toArray)
         }
         case KDouble =>
           val (a, b) = (genDouble(), genDouble())
@@ -172,11 +185,16 @@ class PruneSoundnessSpec extends AnyFunSuite {
           val b = BigDecimal(rnd.nextInt(2400) - 1200, 2)
           DecimalRangePred("c",
             Some((a.min(b), rnd.nextBoolean())), Some((a.max(b), rnd.nextBoolean())))
-        case KString => rnd.nextInt(3) match {
+        case KString => rnd.nextInt(4) match {
           case 0 => StringEqPred("c", someVal(genString()))
           case 1 => StringRangePred("c", Some((genString(), rnd.nextBoolean())), None)
-          case _ => StringRangePred("c",
+          case 2 => StringRangePred("c",
             Some((genString(), rnd.nextBoolean())), Some((genString(), rnd.nextBoolean())))
+          case _ => // sorted-membership over UTF-8 bytes (unsigned order)
+            val k = 1 + rnd.nextInt(6)
+            val values = Seq.fill(k)(someVal(genString())).distinct
+            StringInPred("c", values.map(_.getBytes("UTF-8")).sortWith(
+              graft.core.stats.ColStats.compareBytes(_, _) < 0).toArray)
         }
       }
       def nullLeaf(): LeafPred = if (rnd.nextBoolean()) IsNullPred("c") else IsNotNullPred("c")
