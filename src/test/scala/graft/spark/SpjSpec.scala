@@ -139,6 +139,20 @@ class SpjSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(joined.collect().map(_.toString).toSeq == expect)
   }
 
+  test("bucketed catalog table: limit, filter-to-empty, count(*) all behave") {
+    // partial plans (limit caps splits, a refuting filter prunes all files,
+    // count(*) projects no bucket column) must coexist with the reported
+    // key-grouped partitioning
+    assert(spark.table("mothcat.ta").limit(5).collect().length == 5)
+    assert(spark.table("mothcat.ta").filter(col("k") === -42L).collect().isEmpty)
+    assert(spark.table("mothcat.ta").count() == 4000L)
+    assert(spark.table("mothcat.ta").orderBy("k").limit(3)
+      .collect().map(_.getLong(0)).toSeq == Seq(0L, 0L, 0L))
+    // metadata columns compose with the bucketed scan
+    assert(spark.table("mothcat.ta")
+      .select(col("_moth_file")).distinct().count() == 8L)
+  }
+
   test("catalog surface: list/exists/drop over warehouse directories") {
     import org.apache.spark.sql.connector.catalog.Identifier
     val cat = new graft.spark.source.MothCatalog
