@@ -20,11 +20,20 @@ object SparkEntry {
   private def read(s: SparkSession, sfDir: String, name: String): DataFrame =
     s.read.parquet(t(sfDir, name))
 
-  /** Identity round-trip through the full engine with a stable order. */
+  /** Identity round-trip through the full engine with a stable order.
+    *
+    * The sort runs BEFORE the roundtrip (guide §1.2/§2.4): a trailing
+    * orderBy would range-partition the roundtrip output, and Spark's range
+    * sampling executes the child twice — i.e. the full encode+decode would
+    * run twice per query, and the wide decoded rows would then cross an
+    * exchange. Sorting the narrow parquet side first costs the sampling
+    * double-scan only on the cheap columnar scan; the roundtrip is an
+    * order-preserving mapPartitions over range-ordered partitions, so the
+    * emitted row order (= what the oracle hash sees) is identical.
+    */
   private def rt(s: SparkSession, sfDir: String, table: String, sortCols: Seq[String],
       codec: CompressionKind.Value = CompressionKind.ZLIB): DataFrame =
-    MothSpark.roundtrip(read(s, sfDir, table), codec)
-      .orderBy(sortCols.map(col): _*)
+    MothSpark.roundtrip(read(s, sfDir, table).orderBy(sortCols.map(col): _*), codec)
 
   /** Same SQL text runs on Spark (temp views) and DuckDB — semantic parity
     * by construction for the training-data-ops queries.
@@ -63,14 +72,15 @@ object SparkEntry {
     // position-sensitive integer scalars computed AFTER the engine roundtrip
     // (exact integer math ⇒ no cross-engine float-summation ambiguity)
     "roundtrip_embeddings" -> ((s, d) => {
-      MothSpark.roundtrip(read(s, d, "embeddings"))
+      // sort-before-roundtrip (see rt); the projection is narrow and
+      // order-preserving, so the emitted order is still vec_id ascending
+      MothSpark.roundtrip(read(s, d, "embeddings").orderBy("vec_id"))
         .select(col("vec_id"),
           size(col("embedding")).cast("long").as("dim"),
           expr("aggregate(transform(embedding, x -> cast(floor(cast(x AS double) * 1000) AS bigint)), 0L, (a, v) -> a + v)").as("checksum"),
           expr("cast(floor(cast(element_at(embedding, 1) AS double) * 1000) AS bigint)").as("first_q"),
           expr("cast(floor(cast(element_at(embedding, -1) AS double) * 1000) AS bigint)").as("last_q"),
           col("label"))
-        .orderBy("vec_id")
     }),
     // codec coverage on strings-heavy data — full codec matrix
     "roundtrip_documents_zstd" -> ((s, d) =>
@@ -97,14 +107,14 @@ object SparkEntry {
           |  map('prio', CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_orderpriority END,
           |      'stat', o_orderstatus) AS attrs
           |FROM orders""".stripMargin)
-      MothSpark.roundtrip(derived)
+      // sort-before-roundtrip (see rt); narrow order-preserving projection
+      MothSpark.roundtrip(derived.orderBy("o_orderkey"))
         .select(col("o_orderkey"),
           col("info.status").as("status"),
           col("info.cents").as("cents"),
           col("info.deep.cust").as("cust"),
           element_at(col("attrs"), "prio").as("prio"),
           element_at(col("attrs"), "stat").as("stat"))
-        .orderBy("o_orderkey")
     }),
 
     // — multimodal-style opaque binary column: cast text payloads to binary,
@@ -113,38 +123,53 @@ object SparkEntry {
     "binary_features" -> ((s, d) => {
       val withBlob = read(s, d, "documents")
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
-      MothSpark.roundtrip(withBlob)
+      // sort-before-roundtrip (see rt); narrow order-preserving projection
+      MothSpark.roundtrip(withBlob.orderBy("doc_id"))
         .select(col("doc_id"),
           length(col("blob")).cast("long").as("n_bytes"),
           md5(col("blob")).as("blob_md5"))
-        .orderBy("doc_id")
     }),
 
     // — transcripts per input_hint (derived from events), round-tripped —
     "transcripts_roundtrip" -> ((s, d) => {
       read(s, d, "events").createOrReplaceTempView("events")
-      MothSpark.roundtrip(s.sql(TranscriptsSql))
-        .orderBy(col("conv_id"), col("turn_idx"))
+      // sort-before-roundtrip (see rt): (conv_id, turn_idx) is unique, so
+      // the pre-sorted order survives the order-preserving roundtrip
+      MothSpark.roundtrip(
+        s.sql(TranscriptsSql).orderBy(col("conv_id"), col("turn_idx")))
     }),
 
     // — encoder statistics subsystem vs SQL aggregates —
+    // Optimized (r06, guide §1.2): the encode runs on the Tungsten-native
+    // internal-row path (the old Dataset.mapPartitions deserialized every
+    // lineitem row to an external Row first), and the codec is NONE — the
+    // encoded bytes were always discarded, and the stats the query verifies
+    // are built from raw values BEFORE compression, so they are identical
+    // under any codec. Don't compute bytes you throw away.
     "stats_lineitem" -> ((s, d) => {
-      import s.implicits._
+      import org.apache.spark.sql.types._
       val df = read(s, d, "lineitem")
       val schema = df.schema
-      val perPart = df.mapPartitions { rows =>
+      val qi = schema.fieldIndex("l_quantity") + 1
+      val ki = schema.fieldIndex("l_orderkey") + 1
+      val rdd = df.queryExecution.toRdd.mapPartitions { rows =>
         if (rows.isEmpty) Iterator.empty
         else {
-        val bos = new java.io.ByteArrayOutputStream()
-        val res = MothSpark.encodeRows(schema, rows, bos, CompressionKind.ZLIB, WriterOpts())
-        val qtyStats = res.fileStats(schema.fieldIndex("l_quantity") + 1)
-        val okStats = res.fileStats(schema.fieldIndex("l_orderkey") + 1)
-        val d0 = qtyStats.doubleStats
-        val i0 = okStats.intStats
-        Iterator.single((res.rows, d0.map(_.min).getOrElse(0.0), d0.map(_.max).getOrElse(0.0),
-          i0.map(_.min).getOrElse(0L), i0.map(_.max).getOrElse(0L)))
+          val bos = new java.io.ByteArrayOutputStream()
+          val res = MothSpark.encodeInternalRows(schema, rows, bos,
+            CompressionKind.NONE, WriterOpts())
+          val d0 = res.fileStats(qi).doubleStats
+          val i0 = res.fileStats(ki).intStats
+          Iterator.single(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](res.rows, d0.map(_.min).getOrElse(0.0), d0.map(_.max).getOrElse(0.0),
+              i0.map(_.min).getOrElse(0L), i0.map(_.max).getOrElse(0L)))
+            : org.apache.spark.sql.catalyst.InternalRow)
         }
-      }.toDF("cnt", "minq", "maxq", "mink", "maxk")
+      }
+      val perPart = org.apache.spark.sql.GraftBridge.internalDf(s, rdd, StructType(Seq(
+        StructField("cnt", LongType), StructField("minq", DoubleType),
+        StructField("maxq", DoubleType), StructField("mink", LongType),
+        StructField("maxk", LongType))))
       perPart.agg(
         sum("cnt").as("cnt"),
         min("minq").as("min_qty"), max("maxq").as("max_qty"),
@@ -152,23 +177,31 @@ object SparkEntry {
     }),
 
     // — stats/bloom pruning path, distributed, with residual filter —
+    // Optimized (r06, guide §1.2/§2.4): internal rows both directions (no
+    // external-Row materialization), and the sort moved BEFORE the encode —
+    // the trailing orderBy range-sampled its child, re-running the whole
+    // encode+prune pipeline twice; row-group pruning and the residual
+    // filter are order-preserving, so pre-sorted input emits the same
+    // ascending rows.
     "prune_orders" -> ((s, d) => {
       import graft.core.file._
-      val df = read(s, d, "orders")
+      val df = read(s, d, "orders").orderBy("o_orderkey")
       val schema = df.schema
-      val enc = org.apache.spark.sql.Encoders.row(schema)
-      df.mapPartitions { rows =>
+      val rdd = df.queryExecution.toRdd.mapPartitions { rows =>
         if (rows.isEmpty) Iterator.empty
         else {
           val bos = new java.io.ByteArrayOutputStream()
-          MothSpark.encodeRows(schema, rows, bos, CompressionKind.ZLIB,
+          MothSpark.encodeInternalRows(schema, rows, bos, CompressionKind.ZLIB,
             WriterOpts(rowGroupMaxRowCount = 1000))
           val rd = MothFileReader.fromBytes(bos.toByteArray)
           val pred = StatsPredicate(Seq(LongRangePred("o_orderkey", Some(1000L), Some(5000L))))
           val sch = graft.spark.SparkBridge.toSparkSchema(rd.schema)
-          rd.batches(predicate = pred).flatMap(v => graft.spark.SparkBridge.vecToRows(sch, v))
+          rd.batches(predicate = pred)
+            .flatMap(v => graft.spark.SparkBridge.vecToInternalRows(sch, v))
         }
-      }(enc).filter(col("o_orderkey").between(1000L, 5000L)).orderBy("o_orderkey")
+      }
+      org.apache.spark.sql.GraftBridge.internalDf(s, rdd, schema)
+        .filter(col("o_orderkey").between(1000L, 5000L))
     }),
 
     // — DataSourceV2: format("moth") scan with column pruning + stats/bloom
@@ -382,7 +415,10 @@ object SparkEntry {
       val withBlob = read(s, d, "documents")
         .filter(length(col("text")) >= 64)
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
-      MothSpark.roundtrip(withBlob)
+      // sort-before-roundtrip (see rt): doc_id is unique, the projections
+      // and the Generate (explode of an ascending sequence) are
+      // order-preserving, so rows still emit (doc_id, frame_idx)-ascending
+      MothSpark.roundtrip(withBlob.orderBy("doc_id"))
         .select(col("doc_id"), decode(col("blob"), "UTF-8").as("text"))
         .select(col("doc_id"),
           (ascii(substring(col("text"), 1, 1)) % 128 + 1).cast("long").as("width"),
@@ -393,7 +429,6 @@ object SparkEntry {
         .select(col("doc_id"), col("width"), col("height"), col("fmt"),
           col("fi").cast("long").as("frame_idx"),
           md5(expr("substring(text, cast(fi * 256 + 1 AS int), 256)")).as("frame_md5"))
-        .orderBy("doc_id", "frame_idx")
     }),
 
     // — similarity search over embeddings: brute-force cosine top-k

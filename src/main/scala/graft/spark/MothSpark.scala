@@ -207,6 +207,12 @@ object MothSpark {
   /** Distributed encode→decode identity operator: every partition round-trips
     * through the full engine in memory. The correctness oracle for the
     * driver's DuckDB compare (identity SQL).
+    *
+    * Decode emits InternalRows directly (the DSv2 scan's converters) into a
+    * private[sql] internalCreateDataFrame: the previous external-Row path
+    * materialized a String/Timestamp/Row object per cell and then re-encoded
+    * every row through a RowEncoder — double conversion work on the identity
+    * hot path with no observable difference (guide §1.2 per-task work).
     */
   def roundtrip(df: DataFrame,
       compression: CompressionKind.Value = CompressionKind.ZLIB,
@@ -217,10 +223,12 @@ object MothSpark {
       else {
         val bos = new ByteArrayOutputStream()
         encodeInternalRows(schema, rows, bos, compression, opts)
-        decodeRows(bos.toByteArray)
+        val rd = MothFileReader.fromBytes(bos.toByteArray)
+        val sch = toSparkSchema(rd.schema)
+        rd.batches().flatMap(v => vecToInternalRows(sch, v))
       }
     }
-    df.sparkSession.createDataFrame(rdd, schema)
+    org.apache.spark.sql.GraftBridge.internalDf(df.sparkSession, rdd, schema)
   }
 
   /** Writes one MOTH file per partition + a manifest JSON carrying lineage
