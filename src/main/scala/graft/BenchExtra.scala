@@ -38,9 +38,18 @@ object BenchExtra {
     @volatile var jobs = 0
     @volatile var stages = 0
     @volatile var tasks = 0
+    val jobStart = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    val jobLog = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val verbose = sys.env.contains("SPARK_GRAFT_JOBLOG")
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
         jobs += 1; stages += j.stageInfos.size
+        jobStart.put(j.jobId, System.nanoTime())
+      }
+      override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+        val t0 = jobStart.remove(j.jobId)
+        if (t0 != 0L && verbose)
+          jobLog.add(f"    job ${j.jobId}%4d ${(System.nanoTime() - t0) / 1e9}%6.3f s")
       }
       override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
         tasks += 1
@@ -73,6 +82,7 @@ object BenchExtra {
       }
       val times = (1 to repeats).map { _ =>
         jobs = 0; stages = 0; tasks = 0
+        jobLog.clear()
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
         catch { case _: Throwable =>
@@ -83,6 +93,7 @@ object BenchExtra {
       val best = times.min
       println(f"QE $name%-28s ${best}%7.3f s  (jobs=$jobs stages=$stages tasks=$tasks)${
         if (repeats > 1) times.map(t => f"$t%.2f").mkString("  [", ",", "]") else ""}")
+      if (verbose) jobLog.forEach(l => println(l))
       name -> best
     }
     println(f"QE TOTAL ${rows.map(_._2).sum}%.2f s over ${rows.size} queries")

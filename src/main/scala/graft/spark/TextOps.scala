@@ -29,8 +29,10 @@ object TextOps {
     * each shingle, one base hash mixed with k seed constants (standard
     * "one-permutation-ish" trick: h_i = base * A_i + B_i).
     */
-  def minHashSignature(text: String, k: Int = MinHashK): Array[Long] = {
-    val bytes = text.getBytes("UTF-8")
+  def minHashSignature(text: String, k: Int = MinHashK): Array[Long] =
+    minHashSignatureBytes(text.getBytes("UTF-8"), k)
+
+  def minHashSignatureBytes(bytes: Array[Byte], k: Int = MinHashK): Array[Long] = {
     val sig = Array.fill(k)(Long.MaxValue)
     if (bytes.length < ShingleLen) {
       val base = Murmur3.hash64(bytes)
@@ -61,15 +63,23 @@ object TextOps {
   }
 
   /** 64-bit SimHash over whitespace tokens. */
-  def simHash(text: String): Long = {
+  def simHash(text: String): Long = simHashBytes(text.getBytes("UTF-8"))
+
+  /** Byte-level form: UTF-8 never encodes 0x20 inside a multi-byte
+    * sequence, so splitting the raw bytes on 0x20 yields exactly the same
+    * token byte sequences as splitting chars on ' ' and re-encoding — the
+    * hashes (and therefore the simhash) are identical, without a String
+    * decode + per-token re-encode per row.
+    */
+  def simHashBytes(bytes: Array[Byte]): Long = {
     val counts = new Array[Int](64)
     var start = 0
-    val n = text.length
+    val n = bytes.length
     var i = 0
     while (i <= n) {
-      if (i == n || text.charAt(i) == ' ') {
+      if (i == n || bytes(i) == ' '.toByte) {
         if (i > start) {
-          val h = Murmur3.hash64(text.substring(start, i).getBytes("UTF-8"))
+          val h = Murmur3.hash64(bytes, start, i - start)
           var b = 0
           while (b < 64) {
             if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
@@ -123,20 +133,44 @@ object TextOps {
     */
   def minHashPairs(spark: SparkSession, docs: DataFrame, threshold: Double = 0.7,
       maxBucket: Int = 64): DataFrame = {
-    import spark.implicits._
-    val sigs: Dataset[(Long, Array[Long])] = docs
-      .filter(col("text").isNotNull)
-      .select("doc_id", "text").as[(Long, String)]
-      .mapPartitions(_.map { case (id, t) => (id, minHashSignature(t)) })
+    // Optimized (r06, guide §1.2): signatures and band keys are computed on
+    // the internal-row path — the Dataset-encoder form decoded every text to
+    // a String and round-tripped the Array[Long] signature through an
+    // encoder; minHashSignatureBytes consumes the UTF8String bytes directly
+    // (identical hashes — the shingles are byte-windows either way).
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val sel = docs.filter(col("text").isNotNull).select(col("doc_id"), col("text"))
+    val sigRdd = sel.queryExecution.toRdd.mapPartitions(_.map { row =>
+      val sig = minHashSignatureBytes(row.getUTF8String(1).getBytes)
+      new GenericInternalRow(Array[Any](row.getLong(0),
+        new GenericArrayData(sig))): InternalRow
+    })
+    val sigs = org.apache.spark.sql.GraftBridge.internalDf(spark, sigRdd,
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("sig", ArrayType(LongType)))))
     sigs.cache()
-    val bands = sigs.flatMap { case (id, sig) =>
-      (0 until Bands).map { b =>
-        var h = 0x9e3779b97f4a7c15L * (b + 1)
-        var r = 0
-        while (r < RowsPerBand) { h = h * 31 + sig(b * RowsPerBand + r); r += 1 }
-        (b, h, id)
-      }
-    }.toDF("band", "bucket", "doc_id")
+    // fresh plan reference so the cache substitution applies to this subtree
+    val bandRdd = sigs.select(col("doc_id"), col("sig")).queryExecution.toRdd
+      .mapPartitions(_.flatMap { row =>
+        val id = row.getLong(0)
+        val sig = row.getArray(1)
+        val out = new Array[InternalRow](Bands)
+        var b = 0
+        while (b < Bands) {
+          var h = 0x9e3779b97f4a7c15L * (b + 1)
+          var r = 0
+          while (r < RowsPerBand) { h = h * 31 + sig.getLong(b * RowsPerBand + r); r += 1 }
+          out(b) = new GenericInternalRow(Array[Any](b, h, id))
+          b += 1
+        }
+        out.iterator
+      })
+    val bands = org.apache.spark.sql.GraftBridge.internalDf(spark, bandRdd,
+      StructType(Seq(StructField("band", IntegerType),
+        StructField("bucket", LongType), StructField("doc_id", LongType))))
     // De-skew: drop pathological buckets (all-identical spam) BEFORE any id
     // list materializes — a count pre-aggregate (map-side partial, tiny
     // shuffle) inner-joined back, so no task ever builds an array larger
@@ -154,8 +188,12 @@ object TextOps {
           "p -> struct(least(p.a, p.b) AS a, greatest(p.a, p.b) AS b)), p -> p.a < p.b)")).as("p"))
       .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .distinct()
+    // threshold <= 0 (the exact-verification callers, e.g. ngram Jaccard):
+    // est_jaccard is in [0, 1], so the filter keeps every candidate — skip
+    // the two signature joins and the zip_with entirely (guide §1.2: don't
+    // compute things the query provably throws away). Result is identical.
     val sigDf = sigs.toDF("doc_id", "sig")
-    val verified = candidates
+    val verified = if (threshold <= 0) candidates else candidates
       .join(sigDf.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sig", "sig_a"), "doc_a")
       .join(sigDf.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sig", "sig_b"), "doc_b")
       .withColumn("est_jaccard",
@@ -186,11 +224,18 @@ object TextOps {
     */
   def simHashPairs(spark: SparkSession, docs: DataFrame, maxHamming: Int = 3,
       maxBucket: Int = 256): DataFrame = {
-    import spark.implicits._
-    val hashes = docs.filter(col("text").isNotNull)
-      .select("doc_id", "text").as[(Long, String)]
-      .mapPartitions(_.map { case (id, t) => (id, simHash(t)) })
-      .toDF("doc_id", "sh")
+    // internal-row simhash pass (see minHashPairs); simHashBytes splits the
+    // raw UTF-8 bytes on 0x20, which tokenizes identically to the char form
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    val sel = docs.filter(col("text").isNotNull).select(col("doc_id"), col("text"))
+    val hashRdd = sel.queryExecution.toRdd.mapPartitions(_.map { row =>
+      new GenericInternalRow(Array[Any](row.getLong(0),
+        simHashBytes(row.getUTF8String(1).getBytes))): InternalRow
+    })
+    val hashes = org.apache.spark.sql.GraftBridge.internalDf(spark, hashRdd,
+      StructType(Seq(StructField("doc_id", LongType), StructField("sh", LongType))))
     hashes.cache()
     val bands = hashes.select(col("doc_id"), col("sh"),
       explode(array((0 until 4).map(b =>
@@ -216,21 +261,26 @@ object TextOps {
     out
   }
 
-  /** Distinct sorted shingle-hash set of a text (for EXACT n-gram Jaccard). */
-  def shingleSet(text: String): Array[Long] = {
-    val bytes = text.getBytes("UTF-8")
+  /** Distinct sorted shingle-hash set of a text (for EXACT n-gram Jaccard).
+    * Primitive sort + in-place dedup: same sorted-distinct output as the
+    * previous TreeSet form without a boxed insert per shingle.
+    */
+  def shingleSet(text: String): Array[Long] = shingleSetBytes(text.getBytes("UTF-8"))
+
+  def shingleSetBytes(bytes: Array[Byte]): Array[Long] = {
     if (bytes.length < ShingleLen) return Array(Murmur3.hash64(bytes))
-    val set = new java.util.TreeSet[java.lang.Long]()
+    val n = bytes.length - ShingleLen + 1
+    val all = new Array[Long](n)
     var pos = 0
-    while (pos + ShingleLen <= bytes.length) {
-      set.add(shingleHash(bytes, pos, ShingleLen))
-      pos += 1
-    }
-    val out = new Array[Long](set.size)
-    val it = set.iterator()
+    while (pos < n) { all(pos) = shingleHash(bytes, pos, ShingleLen); pos += 1 }
+    java.util.Arrays.sort(all)
+    var w = 0
     var i = 0
-    while (it.hasNext) { out(i) = it.next(); i += 1 }
-    out
+    while (i < n) {
+      if (w == 0 || all(i) != all(w - 1)) { all(w) = all(i); w += 1 }
+      i += 1
+    }
+    if (w == n) all else java.util.Arrays.copyOf(all, w)
   }
 
   /** EXACT n-gram Jaccard near-dup pairs: MinHash-LSH candidate generation
@@ -243,10 +293,20 @@ object TextOps {
       threshold: Double = 0.8, maxBucket: Int = 64): DataFrame = {
     import spark.implicits._
     val candidates = minHashPairs(spark, docs, threshold = 0.0, maxBucket = maxBucket)
-    val sets = docs.filter(col("text").isNotNull)
-      .select("doc_id", "text").as[(Long, String)]
-      .mapPartitions(_.map { case (id, t) => (id, shingleSet(t)) })
-      .toDF("doc_id", "sset")
+    // internal-row shingle-set pass (see minHashPairs)
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val sel = docs.filter(col("text").isNotNull).select(col("doc_id"), col("text"))
+    val setRdd = sel.queryExecution.toRdd.mapPartitions(_.map { row =>
+      new GenericInternalRow(Array[Any](row.getLong(0),
+        new GenericArrayData(shingleSetBytes(row.getUTF8String(1).getBytes))))
+        : InternalRow
+    })
+    val sets = org.apache.spark.sql.GraftBridge.internalDf(spark, setRdd,
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("sset", ArrayType(LongType)))))
     candidates
       .join(sets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sset", "sa"), "doc_a")
       .join(sets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sset", "sb"), "doc_b")
@@ -322,30 +382,53 @@ object TextOps {
     */
   def lshBuckets(spark: SparkSession, emb: DataFrame, planes: Int = 8,
       tables: Int = 4): DataFrame = {
-    import spark.implicits._
-    emb.select("vec_id", "embedding").as[(Long, Seq[Float])]
-      .mapPartitions { it =>
-        var hyper: Array[Array[Array[Double]]] = null
-        it.flatMap { case (id, v) =>
-          if (hyper == null) {
-            val rnd = new scala.util.Random(4242)
-            hyper = Array.fill(tables, planes, v.length)(rnd.nextGaussian())
-          }
-          hyper.indices.map { t =>
-            val h = hyper(t)
-            var key = 0
-            var p = 0
-            while (p < h.length) {
-              var dot = 0.0
-              var i = 0
-              while (i < v.length) { dot += h(p)(i) * v(i); i += 1 }
-              if (dot >= 0) key |= 1 << p
-              p += 1
-            }
-            (id, t, key)
-          }
+    // Optimized (r06, guide §1.2 per-task work): the Dataset-encoder form
+    // deserialized every embedding to a boxed Seq[Float] and the dot loop
+    // then paid a boxing Seq.apply per element (tables·planes·dim accesses
+    // per row — measured ~0.65s of the ~0.9s subtree wall at sf0.1).
+    // This form reads the Tungsten array directly, copies each vector once
+    // into a primitive double[], and emits InternalRows. Hyperplanes are
+    // drawn in the identical seed order (t-major, then plane, then dim), so
+    // bucket keys — and therefore candidates and results — are unchanged.
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    val sel = emb.select(col("vec_id"), col("embedding"))
+    val rdd = sel.queryExecution.toRdd.mapPartitions { it =>
+      var hyper: Array[Array[Double]] = null // [table*planes][dim]
+      it.flatMap { row =>
+        val id = row.getLong(0)
+        val arr = row.getArray(1)
+        val dim = arr.numElements()
+        if (hyper == null) {
+          val rnd = new scala.util.Random(4242)
+          hyper = Array.fill(tables * planes)(Array.fill(dim)(rnd.nextGaussian()))
         }
-      }.toDF("vec_id", "table", "bucket")
+        val v = new Array[Double](dim)
+        var i = 0
+        while (i < dim) { v(i) = arr.getFloat(i).toDouble; i += 1 }
+        val out = new Array[InternalRow](tables)
+        var t = 0
+        while (t < tables) {
+          var key = 0
+          var p = 0
+          while (p < planes) {
+            val h = hyper(t * planes + p)
+            var dot = 0.0
+            var j = 0
+            while (j < dim) { dot += h(j) * v(j); j += 1 }
+            if (dot >= 0) key |= 1 << p
+            p += 1
+          }
+          out(t) = new GenericInternalRow(Array[Any](id, t, key))
+          t += 1
+        }
+        out.iterator
+      }
+    }
+    org.apache.spark.sql.GraftBridge.internalDf(spark, rdd, StructType(Seq(
+      StructField("vec_id", LongType), StructField("table", IntegerType),
+      StructField("bucket", IntegerType))))
   }
 
   /** IVF (inverted-file) ANN — the second scale path next to LSH: a coarse
@@ -398,22 +481,29 @@ object TextOps {
     best
   }
 
-  /** (vec_id, centroid) assignment — the IVF list membership. */
+  /** (vec_id, centroid) assignment — the IVF list membership.
+    * Internal-row path for the same reason as [[lshBuckets]].
+    */
   def ivfAssign(spark: SparkSession, emb: DataFrame,
       cents: Array[Array[Double]]): DataFrame = {
-    import spark.implicits._
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
     val bc = spark.sparkContext.broadcast(cents)
-    emb.filter(col("embedding").isNotNull)
-      .select("vec_id", "embedding").as[(Long, Seq[Float])]
-      .mapPartitions { it =>
-        val cs = bc.value
-        it.map { case (id, v) =>
-          val d = new Array[Double](v.length)
-          var i = 0
-          while (i < v.length) { d(i) = v(i).toDouble; i += 1 }
-          (id, nearestCentroid(cs, d))
-        }
-      }.toDF("vec_id", "centroid")
+    val sel = emb.filter(col("embedding").isNotNull).select(col("vec_id"), col("embedding"))
+    val rdd = sel.queryExecution.toRdd.mapPartitions { it =>
+      val cs = bc.value
+      it.map { row =>
+        val id = row.getLong(0)
+        val arr = row.getArray(1)
+        val d = new Array[Double](arr.numElements())
+        var i = 0
+        while (i < d.length) { d(i) = arr.getFloat(i).toDouble; i += 1 }
+        new GenericInternalRow(Array[Any](id, nearestCentroid(cs, d))): InternalRow
+      }
+    }
+    org.apache.spark.sql.GraftBridge.internalDf(spark, rdd, StructType(Seq(
+      StructField("vec_id", LongType), StructField("centroid", IntegerType))))
   }
 
   /** Oracle-checkable IVF recall: an exact-duplicate vector assigns to the
