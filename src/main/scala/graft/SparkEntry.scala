@@ -225,7 +225,13 @@ object SparkEntry {
     "dsv2_write_lineitem" -> ((s, d) => {
       val out = new java.io.File(System.getProperty("java.io.tmpdir"),
         s"graft-dsv2w-${Integer.toHexString(d.hashCode)}/lineitem").getAbsolutePath
-      read(s, d, "lineitem").write.format("moth").mode("overwrite").save(out)
+      // r06: distribute the write (guide §6 rebalance-before-write) — the
+      // parquet input is one split, so the encode ran single-threaded; a
+      // deterministic hash repartition sizes with spark.sql.shuffle
+      // .partitions (scale-adaptive, no constant) and the scanned-back
+      // aggregate is file-layout-invariant.
+      read(s, d, "lineitem").repartition(col("l_orderkey"))
+        .write.format("moth").mode("overwrite").save(out)
       s.read.format("moth").load(out)
         .groupBy("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("cnt"),
@@ -308,7 +314,10 @@ object SparkEntry {
     "dsv2_agg_orders" -> ((s, d) => {
       val out = new java.io.File(System.getProperty("java.io.tmpdir"),
         s"graft-dsv2a-${Integer.toHexString(d.hashCode)}/orders").getAbsolutePath
-      read(s, d, "orders").write.format("moth").mode("overwrite").save(out)
+      // r06: rebalance-before-write (see dsv2_write_lineitem) — the
+      // footer-only aggregate merges per-file stats, layout-invariant
+      read(s, d, "orders").repartition(col("o_orderkey"))
+        .write.format("moth").mode("overwrite").save(out)
       s.read.format("moth").load(out)
         .agg(count(lit(1)).as("n"),
           min("o_orderkey").cast("long").as("min_key"),

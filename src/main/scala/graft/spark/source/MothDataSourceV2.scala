@@ -425,9 +425,13 @@ class MothDataWriter(path: String, schema: StructType, queryId: String,
       // an EMPTY file verified vacuously: tag it with the task's partition
       // id — under MothSpark.writeBucketed placement partition id == bucket
       // id, and for foreign placements an empty file's tag constrains
-      // nothing (a bucket group gaining an empty file stays correct)
+      // nothing (a bucket group gaining an empty file stays correct).
+      // Clamped to the bucket domain: a foreign placement with more tasks
+      // than buckets must not mint a phantom bucket id >= n (the scan would
+      // then report a KeyGroupedPartitioning key bucket(n, cols) can never
+      // produce).
       writer.addUserMetadata(MothBucket.IdKey,
-        (if (bucketCheck.observed >= 0) bucketCheck.observed else partitionId).toString)
+        (if (bucketCheck.observed >= 0) bucketCheck.observed else partitionId % n).toString)
     }
     writer.close()
     fos.close()
@@ -979,10 +983,22 @@ class MothScan(path: String, required: StructType, predicate: StatsPredicate,
 
   /** Split constructor: bucket-tagged tables emit key-carrying splits so
     * Spark can group them per bucket.
+    *
+    * The bucket layout was probed from an earlier directory listing than
+    * the one planInputPartitions iterates; a file appended between the two
+    * (append-mode writes are supported) is absent from `idOf`. On a miss,
+    * re-probe the layout from a fresh listing (the memo keys on the
+    * listing, so the stale entry is replaced) and read the late file's own
+    * verified tag — never throw planning-time on a race the writer allows.
     */
   private def mkSplit(f: String, s: Long, e: Long): InputPartition =
     bucketing match {
-      case Some(bl) => MothBucketedPartition(f, s, e, bl.idOf(f))
+      case Some(bl) =>
+        val id = bl.idOf.get(f)
+          .orElse(MothTable.bucketLayout(path).flatMap(_.idOf.get(f)))
+          .getOrElse(throw new IllegalStateException(
+            s"file $f appeared without a matching bucket tag in bucketed table $path"))
+        MothBucketedPartition(f, s, e, id)
       case None => MothInputPartition(f, s, e)
     }
 
