@@ -278,12 +278,17 @@ object SparkEntry {
       MothSpark.writeBucketed(
         read(s, d, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity"),
         s"$base/lineitem_b", Seq("l_orderkey"), 8)
+      // r06 (round-5 verdict housekeeping #1): the catalog + SPJ flags live
+      // on a DEDICATED child session — a correctness-suite query must not
+      // mutate the session the other queries run in. newSession shares the
+      // SparkContext (and the bench's timing) but scopes the conf.
+      val ss = s.newSession()
       val cat = s"mothspj_${Integer.toHexString(base.hashCode)}"
-      s.conf.set(s"spark.sql.catalog.$cat", "graft.spark.source.MothCatalog")
-      s.conf.set(s"spark.sql.catalog.$cat.warehouse", base)
-      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
-      s.table(s"$cat.orders_b")
-        .join(s.table(s"$cat.lineitem_b"),
+      ss.conf.set(s"spark.sql.catalog.$cat", "graft.spark.source.MothCatalog")
+      ss.conf.set(s"spark.sql.catalog.$cat.warehouse", base)
+      ss.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      ss.table(s"$cat.orders_b")
+        .join(ss.table(s"$cat.lineitem_b"),
           col("o_orderkey") === col("l_orderkey"))
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("cnt"),
